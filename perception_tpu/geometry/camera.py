@@ -1,0 +1,173 @@
+"""Pinhole camera model + depth backprojection, pure jnp.
+
+TPU-native replacement for the reference's ``image_geometry`` camera
+models (``vision_opencv/image_geometry/src/pinhole_camera_model.cpp`` /
+``src/image_geometry/cameramodels.py``) and the organized-cloud
+generation the reference gets for free from the RealSense ROS driver.
+API parity (same math, jnp arrays):
+
+  * ``project(points)``        ~ ``project3dToPixel``    (pinhole_camera_model.cpp:268)
+  * ``pixel_to_ray(uv)``       ~ ``projectPixelTo3dRay`` (pinhole_camera_model.cpp:282)
+  * ``rectify_point``/``unrectify_point`` (:331, :349) — plumb_bob model
+  * ``backproject_depth``      — depth image -> fixed-capacity point cloud
+    + validity mask (the TPU idiom replacing PCL organized clouds).
+
+Invariant (tested like ``image_geometry/test/utest.cpp:47-258`` and
+``test/directed.py:15-26``): project(pixel_to_ray(uv) * z) == uv.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PinholeCamera:
+    """Intrinsics container. fx/fy/cx/cy are traced leaves; width/height
+    (static shape info) are aux data. Distortion is plumb_bob (k1 k2 t1 t2 k3);
+    the reference D435 publishes all-zero distortion (README.md:39-80)."""
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    dist: jax.Array  # (5,) plumb_bob [k1, k2, p1, p2, k3]
+    width: int = 640
+    height: int = 480
+
+    # -- pytree plumbing ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.fx, self.fy, self.cx, self.cy, self.dist), (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        fx, fy, cx, cy, dist = leaves
+        width, height = aux
+        return cls(fx=fx, fy=fy, cx=cx, cy=cy, dist=dist, width=width, height=height)
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def from_K(cls, K, width: int = 640, height: int = 480, dist=None) -> "PinholeCamera":
+        """From a 3x3 (or flat 9) intrinsic matrix, as published on
+        ``/camera/*/camera_info`` (reference README.md:39-80)."""
+        K = jnp.asarray(K, dtype=jnp.float32).reshape(3, 3)
+        d = jnp.zeros(5, jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32).reshape(5)
+        return cls(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2], dist=d, width=width, height=height)
+
+    @classmethod
+    def d435_color(cls) -> "PinholeCamera":
+        return cls.from_K([616.8246459960938, 0.0, 321.81976318359375,
+                           0.0, 616.609375, 239.91116333007812,
+                           0.0, 0.0, 1.0])
+
+    @classmethod
+    def d435_depth(cls) -> "PinholeCamera":
+        return cls.from_K([384.0898742675781, 0.0, 322.4656677246094,
+                           0.0, 384.0898742675781, 240.64073181152344,
+                           0.0, 0.0, 1.0])
+
+    @property
+    def K(self) -> jax.Array:
+        z = jnp.zeros_like(self.fx)
+        o = jnp.ones_like(self.fx)
+        return jnp.stack(
+            [
+                jnp.stack([self.fx, z, self.cx]),
+                jnp.stack([z, self.fy, self.cy]),
+                jnp.stack([z, z, o]),
+            ]
+        )
+
+    # -- projection --------------------------------------------------------
+    def project(self, points: jax.Array) -> jax.Array:
+        """(..., 3) camera-frame points -> (..., 2) pixels (u, v).
+
+        Mirrors project3dToPixel. z == 0 yields NaN and z < 0 yields
+        mirrored (finite but meaningless) coordinates — callers must
+        mask on z > 0. No distortion applied (rectified/zero-D case)."""
+        z = points[..., 2]
+        u = self.fx * points[..., 0] / z + self.cx
+        v = self.fy * points[..., 1] / z + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def pixel_to_ray(self, uv: jax.Array, normalize: bool = False) -> jax.Array:
+        """(..., 2) pixels -> (..., 3) rays with z=1 (projectPixelTo3dRay).
+
+        The C++ model returns the z=1 ray; ``normalize=True`` gives the
+        unit-norm variant (Python cameramodels.py behavior)."""
+        x = (uv[..., 0] - self.cx) / self.fx
+        y = (uv[..., 1] - self.cy) / self.fy
+        ray = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        if normalize:
+            ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        return ray
+
+    # -- distortion (plumb_bob) -------------------------------------------
+    def unrectify_point(self, uv: jax.Array) -> jax.Array:
+        """Apply plumb_bob distortion: ideal pixel -> raw pixel
+        (pinhole_camera_model.cpp:349 semantics, R = I, P = K case)."""
+        x = (uv[..., 0] - self.cx) / self.fx
+        y = (uv[..., 1] - self.cy) / self.fy
+        k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return jnp.stack([self.fx * xd + self.cx, self.fy * yd + self.cy], axis=-1)
+
+    def rectify_point(self, uv: jax.Array, iters: int = 5) -> jax.Array:
+        """Invert plumb_bob distortion by fixed-point iteration (the same
+        scheme cv::undistortPoints uses; 5 iterations like OpenCV)."""
+        x0 = (uv[..., 0] - self.cx) / self.fx
+        y0 = (uv[..., 1] - self.cy) / self.fy
+        k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
+
+        def body(_, xy):
+            x, y = xy
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            return ((x0 - dx) / radial, (y0 - dy) / radial)
+
+        x, y = jax.lax.fori_loop(0, iters, body, (x0, y0))
+        return jnp.stack([self.fx * x + self.cx, self.fy * y + self.cy], axis=-1)
+
+    # -- depth backprojection ---------------------------------------------
+    def backproject_depth(
+        self,
+        depth: jax.Array,
+        min_depth: float = 0.05,
+        max_depth: float = 10.0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Depth image (H, W) meters -> (H*W, 3) points + (H*W,) bool mask.
+
+        Fixed capacity H*W with invalid pixels masked — the TPU-native
+        replacement for the organized PointCloud2 the reference consumes
+        on ``/camera/depth/color/points``. Invalid points are parked at
+        the origin so downstream masked reductions stay NaN-free."""
+        h, w = depth.shape
+        vv, uu = jnp.meshgrid(jnp.arange(h, dtype=depth.dtype), jnp.arange(w, dtype=depth.dtype), indexing="ij")
+        z = depth.reshape(-1)
+        u = uu.reshape(-1)
+        v = vv.reshape(-1)
+        valid = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+        z = jnp.where(valid, z, 0.0)
+        x = (u - self.cx) / self.fx * z
+        y = (v - self.cy) / self.fy * z
+        return jnp.stack([x, y, z], axis=-1), valid
+
+
+def depth_from_u16(depth_u16: np.ndarray, scale: float = 1.0 / 5000.0) -> np.ndarray:
+    """TUM-convention uint16 PNG depth -> float32 meters (0 = invalid).
+
+    TUM RGB-D uses 5000 counts/meter; RealSense bags use 1000 (mm)."""
+    d = depth_u16.astype(np.float32) * scale
+    d[depth_u16 == 0] = np.nan
+    return d
