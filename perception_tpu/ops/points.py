@@ -1,0 +1,137 @@
+"""Masked point-cloud primitives: filters, voxel downsample, centroids.
+
+TPU-native equivalents of the PCL preprocessing used throughout the
+reference (``pcl::PassThrough`` at ``ground_plane_segmentation.cpp:53-65``,
+``pcl::VoxelGrid`` at ``:69-73`` / ``object_pose_detection.cpp:293-298``,
+``pcl::compute3DCentroid`` at ``surface_normal_estimation.cpp:217-219``).
+
+Everything follows the fixed-capacity convention: a cloud is
+``(points[N, 3] float32, mask[N] bool)``; ops never change N, they only
+update the mask (XLA static shapes — SURVEY.md §7.4 item 1). Masked-out
+points are parked at a sentinel far outside any scene so reductions and
+NN searches need no special-casing.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Far-away park position for invalid points: keeps them out of every
+# radius/NN query without introducing NaN/inf into arithmetic.
+SENTINEL = 1.0e6
+
+
+def apply_mask(points: jax.Array, mask: jax.Array) -> jax.Array:
+    """Park masked-out points at the sentinel location."""
+    return jnp.where(mask[..., None], points, SENTINEL)
+
+
+def passthrough(
+    points: jax.Array,
+    mask: jax.Array,
+    axis: int,
+    lo: float,
+    hi: float,
+) -> jax.Array:
+    """PassThrough filter: keep points with lo <= p[axis] <= hi.
+
+    Returns the narrowed mask (points unchanged). Mirrors
+    ``pcl::PassThrough::setFilterLimits`` semantics (inclusive bounds).
+    """
+    v = points[..., axis]
+    return mask & (v >= lo) & (v <= hi)
+
+
+def crop_box(points: jax.Array, mask: jax.Array, lo, hi) -> jax.Array:
+    """Axis-aligned box filter; lo/hi are length-3."""
+    lo = jnp.asarray(lo, points.dtype)
+    hi = jnp.asarray(hi, points.dtype)
+    inside = jnp.all((points >= lo) & (points <= hi), axis=-1)
+    return mask & inside
+
+
+def centroid(points: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked mean over valid points: (..., N, 3), (..., N) -> (..., 3)."""
+    w = mask.astype(points.dtype)
+    total = jnp.sum(points * w[..., None], axis=-2)
+    count = jnp.sum(w, axis=-1, keepdims=True)
+    return total / jnp.maximum(count, 1.0)
+
+
+def voxel_ids(points: jax.Array, origin: jax.Array, voxel_size, dims) -> jax.Array:
+    """Quantize points to linear voxel ids on a fixed grid.
+
+    ``dims`` (3,) static ints; out-of-grid coordinates are clamped, so
+    callers should pick a grid covering the filtered workspace.
+    """
+    cell = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    cell = jnp.clip(cell, 0, dims_arr - 1)
+    return (cell[..., 0] * dims[1] + cell[..., 1]) * dims[2] + cell[..., 2]
+
+
+def voxel_downsample(
+    points: jax.Array,
+    mask: jax.Array,
+    voxel_size: float,
+    origin=(-5.0, -5.0, -5.0),
+    dims=(1024, 1024, 1024),
+) -> Tuple[jax.Array, jax.Array]:
+    """VoxelGrid downsample: one centroid per occupied voxel.
+
+    Matches ``pcl::VoxelGrid`` semantics (centroid, not center). Output
+    keeps the input capacity N: slot i holds the centroid of the i-th
+    occupied voxel (in voxel-id order) and the mask marks which slots
+    are live. Implementation is sort-free: segment-sum keyed by a
+    compacted voxel rank computed from a sorted id array.
+    """
+    n = points.shape[0]
+    origin = jnp.asarray(origin, points.dtype)
+    ids = voxel_ids(points, origin, voxel_size, dims)
+    # Invalid points get an id past every real voxel so they sort last.
+    big = jnp.int32(dims[0] * dims[1] * dims[2])
+    ids = jnp.where(mask, ids, big)
+
+    sorted_ids = jnp.sort(ids)
+    order = jnp.argsort(ids)
+    # First occurrence flags over the sorted ids.
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    first = first & (sorted_ids < big)
+    rank_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # voxel rank per sorted slot
+    valid_sorted = sorted_ids < big
+    rank_sorted = jnp.where(valid_sorted, rank_sorted, n - 1)
+
+    pts_sorted = points[order]
+    w = valid_sorted.astype(points.dtype)
+    sums = jax.ops.segment_sum(pts_sorted * w[:, None], rank_sorted, num_segments=n)
+    counts = jax.ops.segment_sum(w, rank_sorted, num_segments=n)
+    out_mask = counts > 0
+    # The last segment may mix the final real voxel with invalid points;
+    # invalid rows carry zero weight so sums stay correct.
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    return apply_mask(centroids, out_mask), out_mask
+
+
+def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Gather valid points to the front, truncating/padding to ``capacity``.
+
+    Used to shrink working sets between stages (e.g. after downsample)
+    so downstream kernels run on a smaller static shape.
+    """
+    order = jnp.argsort(~mask, stable=True)  # valid first, stable
+    idx = order[:capacity]
+    out_mask = mask[idx]
+    return apply_mask(points[idx], out_mask), out_mask
+
+
+def bounds(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Masked min/max corners of a cloud."""
+    big = jnp.asarray(SENTINEL, points.dtype)
+    lo = jnp.min(jnp.where(mask[..., None], points, big), axis=-2)
+    hi = jnp.max(jnp.where(mask[..., None], points, -big), axis=-2)
+    return lo, hi
