@@ -1,0 +1,85 @@
+"""Headline benchmark: cuboid-ICP pipeline frames/s per chip at 640x480.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value      = frames/s of the full jitted pipeline (backproject ->
+             passthrough -> voxel -> RANSAC plane -> multi-restart
+             template ICP) on one TPU chip, steady-state.
+vs_baseline= value / measured PCL-equivalent CPU frames/s (KD-tree ICP
+             harness in benchmarks/cpu_baseline.py — BASELINE.md
+             requires the denominator to be measured, not quoted).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from perception_tpu.geometry.camera import PinholeCamera
+    from perception_tpu.models.cuboid import CuboidConfig, cuboid_pipeline_from_depth
+    from benchmarks.scene import render_depth_tabletop, benchmark_template
+    from benchmarks.cpu_baseline import measure_cpu_fps
+
+    camera = PinholeCamera.d435_depth()
+    template_np = benchmark_template()
+    template = jnp.asarray(template_np)
+    template_mask = jnp.ones(len(template_np), bool)
+    config = CuboidConfig()
+
+    frames = [
+        render_depth_tabletop(camera, seed=s,
+                              cuboid_pose_twist=(0.05, 0.03, 0.80, 0.0, 0.0, 0.3 + 0.05 * s))
+        for s in range(8)
+    ]
+
+    fn = jax.jit(
+        lambda depth, key: cuboid_pipeline_from_depth(
+            depth, camera, template, template_mask, key, config
+        )
+    )
+
+    # Warmup/compile.
+    key = jax.random.key(0)
+    res = fn(jnp.asarray(frames[0]), key)
+    jax.block_until_ready(res)
+    print(f"warmup: accepted={bool(res.accepted)} fitness={float(res.fitness):.6f}",
+          file=sys.stderr)
+
+    # Steady-state timing (device-side arrays staged up front; the host
+    # loop double-buffers naturally because dispatch is async).
+    dev_frames = [jnp.asarray(f) for f in frames]
+    keys = jax.random.split(key, 32)
+    for d in dev_frames:
+        jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    n_timed = 24
+    out = None
+    for i in range(n_timed):
+        out = fn(dev_frames[i % len(dev_frames)], keys[i % len(keys)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    tpu_fps = n_timed / dt
+    print(f"tpu: {tpu_fps:.2f} frames/s ({dt/n_timed*1000:.1f} ms/frame)", file=sys.stderr)
+
+    cpu_fps = measure_cpu_fps(frames, camera, template_np, max_frames=3)
+    print(f"cpu baseline: {cpu_fps:.3f} frames/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "cuboid_icp_frames_per_sec_per_chip_640x480",
+        "value": round(tpu_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / cpu_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

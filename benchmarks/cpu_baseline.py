@@ -1,0 +1,126 @@
+"""PCL-equivalent CPU baseline for the cuboid pipeline.
+
+BASELINE.md requires the PCL-CPU frames/s denominator to be *measured*,
+not looked up; PCL itself is not installed in this image, so this
+harness reimplements the same algorithms the reference runs, with the
+same structure PCL uses on CPU (KD-tree correspondence via
+scipy.spatial.cKDTree — the same data structure PCL's
+``pcl::search::KdTree`` wraps — and the reference's parameters):
+
+  passthrough z/x -> voxel grid (5 mm) -> sequential-RANSAC plane
+  (1000 hypotheses, 1.5 cm) -> template ICP (KD-tree NN + SVD solve,
+  transformation epsilon 1e-9).
+
+This is the denominator of the >=10x target. It is deliberately an
+honest, vectorized-numpy implementation — slower naive loops would
+inflate our speedup.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+def passthrough_np(pts, axis, lo, hi):
+    m = (pts[:, axis] >= lo) & (pts[:, axis] <= hi)
+    return pts[m]
+
+
+def voxel_downsample_np(pts, leaf):
+    keys = np.floor(pts / leaf).astype(np.int64)
+    # Lexicographic unique by structured view.
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    k = keys[order]
+    first = np.ones(len(k), bool)
+    first[1:] = (k[1:] != k[:-1]).any(1)
+    groups = np.cumsum(first) - 1
+    sums = np.zeros((groups[-1] + 1, 3))
+    np.add.at(sums, groups, pts[order])
+    counts = np.bincount(groups)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def ransac_plane_np(pts, iterations=1000, threshold=0.015, seed=0):
+    rng = np.random.RandomState(seed)
+    n_pts = len(pts)
+    best_inliers = -1
+    best = None
+    for _ in range(iterations):  # PCL iterates hypotheses sequentially
+        i, j, k = rng.randint(0, n_pts, 3)
+        n = np.cross(pts[j] - pts[i], pts[k] - pts[i])
+        norm = np.linalg.norm(n)
+        if norm < 1e-12:
+            continue
+        n = n / norm
+        d = -n @ pts[i]
+        dist = np.abs(pts @ n + d)
+        count = int((dist <= threshold).sum())
+        if count > best_inliers:
+            best_inliers = count
+            best = (n, d)
+    n, d = best
+    inl = np.abs(pts @ n + d) <= threshold
+    return n, d, inl
+
+
+def icp_np(source, target, max_iterations=120, trans_eps=1e-9):
+    """Point-to-point ICP with cKDTree correspondence (PCL-equivalent)."""
+    tree = cKDTree(target)
+    T = np.eye(4)
+    src = source.copy()
+    for _ in range(max_iterations):
+        d, idx = tree.query(src)
+        tgt = target[idx]
+        cs, ct = src.mean(0), tgt.mean(0)
+        H = (src - cs).T @ (tgt - ct)
+        U, _, Vt = np.linalg.svd(H)
+        D = np.diag([1.0, 1.0, np.linalg.det(Vt.T @ U.T)])
+        R = Vt.T @ D @ U.T
+        t = ct - R @ cs
+        delta = np.eye(4)
+        delta[:3, :3] = R
+        delta[:3, 3] = t
+        T = delta @ T
+        src = src @ R.T + t
+        if np.sum(t * t) + np.sum((R - np.eye(3)) ** 2) < trans_eps:
+            break
+    d, idx = tree.query(src)
+    fitness = float((d**2).mean())
+    return T, fitness
+
+
+def cuboid_pipeline_cpu(points, template):
+    """One frame of the reference pipeline; returns (pose, fitness)."""
+    pts = passthrough_np(points, 2, 0.0, 0.9)
+    pts = passthrough_np(pts, 0, -0.2, 0.2)
+    pts = voxel_downsample_np(pts, 0.005)
+    n, d, inl = ransac_plane_np(pts)
+    box = pts[~inl]
+    if len(box) < 50:
+        return np.eye(4), np.inf
+    T, fitness = icp_np(box, template)
+    return np.linalg.inv(T), fitness
+
+
+def measure_cpu_fps(depth_frames, camera, template, max_frames=3):
+    """Frames/s of the full CPU pipeline over pre-backprojected clouds."""
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = float(camera.cx), float(camera.cy)
+    clouds = []
+    for depth in depth_frames[:max_frames]:
+        H, W = depth.shape
+        vv, uu = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        z = depth
+        valid = np.isfinite(z) & (z > 0.05) & (z < 10.0)
+        x = (uu - cx) / fx * z
+        y = (vv - cy) / fy * z
+        clouds.append(np.stack([x[valid], y[valid], z[valid]], -1).astype(np.float32))
+
+    t0 = time.perf_counter()
+    for cloud in clouds:
+        cuboid_pipeline_cpu(cloud, template)
+    dt = time.perf_counter() - t0
+    return len(clouds) / dt

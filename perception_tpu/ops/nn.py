@@ -72,7 +72,10 @@ def nearest_neighbor(
             t + 1,
         ), None
 
-    init = (jnp.full((nq,), _BIG, query.dtype), jnp.zeros((nq,), jnp.int32), jnp.int32(0))
+    # Derive the init carry from query data so its sharding "varying"
+    # axes match the body output under shard_map (see jax shard-map
+    # scan-vma semantics).
+    init = (q_sq * 0 + _BIG, (q_sq * 0).astype(jnp.int32), jnp.int32(0))
     (best_d2, best_idx, _), _ = jax.lax.scan(body, init, ref_tiles)
     best_d2 = jnp.maximum(best_d2, 0.0)  # numerical floor
     return best_idx, best_d2
@@ -143,8 +146,8 @@ def knn(
         return (-neg_top, jnp.take_along_axis(merged_idx, arg_top, axis=1)), None
 
     init = (
-        jnp.full((nq, k), _BIG, query.dtype),
-        jnp.zeros((nq, k), jnp.int32),
+        jnp.zeros((nq, k), query.dtype) + q_sq[:, None] * 0 + _BIG,
+        (jnp.zeros((nq, k), query.dtype) + q_sq[:, None] * 0).astype(jnp.int32),
     )
     ts = jnp.arange(num_tiles, dtype=jnp.int32)
     (best_d2, best_idx), _ = jax.lax.scan(body, init, (ref_tiles, ts))
