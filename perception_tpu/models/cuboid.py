@@ -21,6 +21,7 @@ best-fitness pose — the TPU-native version of
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -30,7 +31,7 @@ from perception_tpu.geometry import se3
 from perception_tpu.geometry.camera import PinholeCamera
 from perception_tpu.io.templates import cuboid_vertices
 from perception_tpu.ops import points as P
-from perception_tpu.ops.icp import icp_batched
+from perception_tpu.ops.icp import icp_batched, icp_point_to_plane
 from perception_tpu.ops.ransac import ransac_plane
 
 
@@ -44,12 +45,19 @@ class CuboidConfig:
     # RANSAC (1000 iters / 0.015 m in the launch)
     ransac_hypotheses: int = 1024
     ransac_threshold: float = 0.015
-    # ICP
-    icp_max_iterations: int = 120
+    # ICP — point-to-plane GN restarts (fast path); 'p2p' parity mode
+    # uses PCL-style point-to-point with the same gate semantics.
+    icp_max_iterations: int = 30
     icp_restarts: int = 8
+    icp_mode: str = "p2plane"
     fitness_threshold: float = 4.0e-4
-    # Fixed capacities
-    work_capacity: int = 8192   # compacted box cloud fed to ICP
+    # Fixed capacities along the pipeline (each stage shrinks the static
+    # working-set so downstream kernels stay small — the profile showed
+    # RANSAC on the raw 307k capacity costing 28 ms vs 4 ms at 16k).
+    pre_capacity: int = 65536    # compacted passthrough cloud before voxel
+    work_capacity: int = 16384   # compacted downsampled cloud fed to RANSAC
+    box_capacity: int = 2048     # compacted off-plane cloud fed to ICP
+    template_capacity: int = 2048  # template downsampled to voxel_size
     # Cuboid dims for bbox output (launch: 0.2 / 0.1 / 0.03)
     dims: Tuple[float, float, float] = (0.2, 0.1, 0.03)
 
@@ -95,10 +103,17 @@ def segment_ground_plane(
     """Passthrough + voxel downsample + RANSAC plane; returns
     (plane_fit, downsampled_points, box_mask) where box_mask selects the
     off-plane (object) points — ``ExtractIndices`` with ``invert``
-    (ground_plane_segmentation.cpp:96-101)."""
+    (ground_plane_segmentation.cpp:96-101).
+
+    Capacities shrink stage by stage (compact = one cheap bool-argsort)
+    so the voxel sort and the K x N RANSAC matmul run on small static
+    shapes instead of the raw 307k-pixel capacity.
+    """
     m = P.passthrough(points, mask, 2, *config.z_limits)
     m = P.passthrough(points, m, 0, *config.x_limits)
-    dpts, dm = P.voxel_downsample(points, m, config.voxel_size)
+    cpts, cm = P.compact(points, m, config.pre_capacity)
+    dpts0, dm0 = P.voxel_downsample(cpts, cm, config.voxel_size)
+    dpts, dm = P.compact(dpts0, dm0, config.work_capacity)
     fit = ransac_plane(
         dpts,
         dm,
@@ -110,18 +125,37 @@ def segment_ground_plane(
     return fit, dpts, box_mask
 
 
+def template_features(template, template_mask, config: CuboidConfig = CuboidConfig()):
+    """Preprocess a template once per session: downsample to the
+    pipeline's voxel resolution (a 5 mm scene cloud gains nothing from a
+    2 mm template, and the NN matmul shrinks ~6x), compact to a static
+    capacity, and estimate normals for the point-to-plane solver."""
+    from perception_tpu.ops.normals import normals_knn
+
+    dt, dm = P.voxel_downsample(template, template_mask, config.voxel_size)
+    tpts, tmask = P.compact(dt, dm, config.template_capacity)
+    tnormals, _ = normals_knn(tpts, tmask, k=8, viewpoint=(0.0, 0.0, -10.0))
+    return tpts, tnormals, tmask
+
+
 def estimate_cuboid_pose(
     box_points: jax.Array,
     box_mask: jax.Array,
     template: jax.Array,
     template_mask: jax.Array,
     config: CuboidConfig = CuboidConfig(),
+    template_normals: Optional[jax.Array] = None,
 ):
     """Multi-restart batched ICP of the scene cloud against the template.
 
     Returns (pose, fitness, converged): ``pose`` maps template-frame
     points into the camera frame — the inverse of the best scene->template
     ICP transform (``iterative_closest_point.cpp:179`` convention).
+
+    Fast path ('p2plane'): Gauss-Newton point-to-plane restarts (~10x
+    fewer iterations than PCL's point-to-point); the acceptance fitness
+    is still the PCL point-to-point mean-squared NN distance, evaluated
+    once on the winning transform, so the 0.0004 gate keeps its meaning.
     """
     k = config.icp_restarts
     cs = P.centroid(box_points, box_mask)
@@ -130,15 +164,30 @@ def estimate_cuboid_pose(
 
     sources = jnp.broadcast_to(box_points, (k,) + box_points.shape)
     masks = jnp.broadcast_to(box_mask, (k,) + box_mask.shape)
-    res = icp_batched(
-        sources,
-        masks,
-        template,
-        template_mask,
-        init_transforms=inits,
-        max_iterations=config.icp_max_iterations,
-        transformation_epsilon=1e-9,
-    )
+
+    if config.icp_mode == "p2plane":
+        if template_normals is None:
+            from perception_tpu.ops.normals import normals_knn
+
+            template_normals, _ = normals_knn(template, template_mask, k=8)
+        fn = functools.partial(
+            icp_point_to_plane,
+            max_iterations=config.icp_max_iterations,
+            transformation_epsilon=1e-12,
+        )
+        res = jax.vmap(fn, in_axes=(0, 0, None, None, None, 0))(
+            sources, masks, template, template_normals, template_mask, inits
+        )
+    else:
+        res = icp_batched(
+            sources,
+            masks,
+            template,
+            template_mask,
+            init_transforms=inits,
+            max_iterations=config.icp_max_iterations,
+            transformation_epsilon=1e-9,
+        )
     best = jnp.argmin(res.fitness)
     T_best = res.transform[best]
     fitness = res.fitness[best]
@@ -153,12 +202,19 @@ def cuboid_pipeline_step(
     template_mask: jax.Array,
     key: jax.Array,
     config: CuboidConfig = CuboidConfig(),
+    template_normals: Optional[jax.Array] = None,
 ) -> CuboidResult:
-    """Full per-frame pipeline on an (N, 3) masked cloud."""
+    """Full per-frame pipeline on an (N, 3) masked cloud.
+
+    For the fast path, pass a template preprocessed by
+    ``template_features`` (and its normals) so the per-frame work only
+    touches the downsampled template.
+    """
     fit, dpts, box_mask = segment_ground_plane(points, mask, key, config)
-    box_pts, box_m = P.compact(dpts, box_mask, config.work_capacity)
+    box_pts, box_m = P.compact(dpts, box_mask, config.box_capacity)
     pose, fitness, converged = estimate_cuboid_pose(
-        box_pts, box_m, template, template_mask, config
+        box_pts, box_m, template, template_mask, config,
+        template_normals=template_normals,
     )
     has_box = jnp.sum(box_m) >= 50
     # PCL's hasConverged() also counts hitting max iterations as
@@ -186,9 +242,13 @@ def cuboid_pipeline_from_depth(
     template_mask: jax.Array,
     key: jax.Array,
     config: CuboidConfig = CuboidConfig(),
+    template_normals: Optional[jax.Array] = None,
 ) -> CuboidResult:
     """Depth image (H, W) -> CuboidResult; the whole thing jits into a
     single XLA computation (the reference's 3 ROS processes collapse
     into one on-chip step)."""
     points, mask = camera.backproject_depth(depth)
-    return cuboid_pipeline_step(points, mask, template, template_mask, key, config)
+    return cuboid_pipeline_step(
+        points, mask, template, template_mask, key, config,
+        template_normals=template_normals,
+    )

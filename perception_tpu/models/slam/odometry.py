@@ -1,0 +1,208 @@
+"""Frame-to-keyframe point-to-plane ICP odometry (SLAM front-end).
+
+BASELINE.json config #3: "frame-to-frame point-to-plane ICP odometry
+over a D435 bag with keyframe selection and local map fusion". This is
+a new capability (the reference has no SLAM — SURVEY.md §1 'absent
+layers'); the design is the TPU-idiomatic dense frontend:
+
+  * every frame: backproject + grid-stride subsample to a fixed point
+    budget, depth-image normals (organized fast path);
+  * ICP: Gauss-Newton point-to-plane against the current *keyframe*
+    cloud, warm-started from the previous frame's pose (constant-pose
+    model) — drift accumulates against keyframes, not per frame;
+  * keyframe promotion when translation/rotation to the keyframe
+    exceeds thresholds or correspondence overlap drops; the whole step
+    (ICP + conditional promotion) is one jitted computation with
+    ``lax.cond``-free masked updates (jnp.where on the state pytree).
+
+State lives on-device between frames; the host loop only feeds depth
+images and reads back poses — the streaming topology OpenPose gets from
+its thread/queue graph (SURVEY.md §2.7), minus the threads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from perception_tpu.geometry import se3
+from perception_tpu.geometry.camera import PinholeCamera
+from perception_tpu.ops import nn as _nn
+from perception_tpu.ops.icp import _huber_weight
+from perception_tpu.ops.normals import normals_from_depth
+from perception_tpu.ops.points import apply_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    point_budget: int = 4096          # per-frame ICP source points
+    keyframe_budget: int = 8192       # keyframe target cloud capacity
+    icp_iterations: int = 10
+    max_correspondence_distance: float = 0.25
+    huber_delta: float = 0.02
+    damping: float = 1e-5
+    min_depth: float = 0.2
+    max_depth: float = 5.0
+    normal_max_edge: float = 0.05     # tangent-length discontinuity gate;
+                                      # scale up for low-res/wide-FOV cameras
+                                      # (tangents ~ depth/fx)
+    # Keyframe promotion thresholds
+    kf_translation: float = 0.15      # meters
+    kf_rotation: float = 0.2          # radians
+    kf_min_overlap: float = 0.5       # gated-correspondence fraction
+
+
+class OdometryState(NamedTuple):
+    pose: jax.Array        # (4, 4) world <- camera (current frame)
+    kf_pose: jax.Array     # (4, 4) world <- keyframe camera
+    kf_points: jax.Array   # (Mk, 3) keyframe cloud, keyframe camera frame
+    kf_normals: jax.Array  # (Mk, 3)
+    kf_mask: jax.Array     # (Mk,)
+    frame_index: jax.Array # () int32
+    num_keyframes: jax.Array  # () int32
+
+
+class OdometryDiag(NamedTuple):
+    fitness: jax.Array       # () mean sq corr distance after ICP
+    overlap: jax.Array       # () gated-correspondence fraction
+    promoted: jax.Array      # () bool — this frame became a keyframe
+    num_corr: jax.Array      # () int32
+
+
+def _subsample_organized(points, valid, budget: int):
+    """Grid-stride subsample of an organized (H*W, 3) cloud to ``budget``
+    points — deterministic, spatially uniform, O(1) (no sort)."""
+    n = points.shape[0]
+    stride = max(n // budget, 1)
+    idx = jnp.arange(budget) * stride
+    idx = jnp.clip(idx, 0, n - 1)
+    return points[idx], valid[idx]
+
+
+def _frame_features(camera: PinholeCamera, depth, cfg: OdometryConfig):
+    """Backproject + normals + subsample one depth image."""
+    pts_flat, valid_flat = camera.backproject_depth(
+        depth, min_depth=cfg.min_depth, max_depth=cfg.max_depth
+    )
+    h, w = depth.shape
+    normals, nvalid = normals_from_depth(
+        pts_flat.reshape(h, w, 3), valid_flat.reshape(h, w), max_edge=cfg.normal_max_edge
+    )
+    normals = normals.reshape(-1, 3)
+    nvalid = nvalid.reshape(-1)
+
+    src_pts, src_mask = _subsample_organized(pts_flat, valid_flat & nvalid, cfg.point_budget)
+
+    kf_idx = jnp.clip(
+        jnp.arange(cfg.keyframe_budget) * max((h * w) // cfg.keyframe_budget, 1), 0, h * w - 1
+    )
+    kf_pts = pts_flat[kf_idx]
+    kf_norm = normals[kf_idx]
+    kf_mask = (valid_flat & nvalid)[kf_idx]
+    return src_pts, src_mask, kf_pts, kf_norm, kf_mask
+
+
+def init_state(camera: PinholeCamera, depth0: jax.Array, cfg: OdometryConfig = OdometryConfig()) -> OdometryState:
+    """Bootstrap from the first frame (identity pose, first keyframe)."""
+    _, _, kf_pts, kf_norm, kf_mask = _frame_features(camera, depth0, cfg)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    return OdometryState(
+        pose=eye,
+        kf_pose=eye,
+        kf_points=apply_mask(kf_pts, kf_mask),
+        kf_normals=kf_norm,
+        kf_mask=kf_mask,
+        frame_index=jnp.int32(1),
+        num_keyframes=jnp.int32(1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    state: OdometryState,
+    depth: jax.Array,
+    camera: PinholeCamera,
+    cfg: OdometryConfig = OdometryConfig(),
+) -> Tuple[OdometryState, OdometryDiag]:
+    """Track one frame; returns (new_state, diagnostics).
+
+    ``cfg`` is static (hashable dataclass); ``camera`` is a pytree with
+    static width/height aux data, so one compilation serves the stream.
+    """
+    src_pts, src_mask, new_kf_pts, new_kf_norm, new_kf_mask = _frame_features(
+        camera, depth, cfg
+    )
+    src_pts = apply_mask(src_pts, src_mask)
+
+    # ICP in the keyframe's camera frame: T maps current-frame points
+    # into keyframe frame; init from the previous pose estimate.
+    T0 = se3.inverse(state.kf_pose) @ state.pose
+    max_d2 = cfg.max_correspondence_distance**2
+
+    def correspondences(T):
+        src_t = se3.transform_points(T, src_pts)
+        idx, d2 = _nn.nearest_neighbor(src_t, state.kf_points, state.kf_mask)
+        gate = src_mask & (d2 <= max_d2)
+        return src_t, idx, d2, gate
+
+    def gn_body(T, _):
+        src_t, idx, d2, gate = correspondences(T)
+        q = state.kf_points[idx]
+        nrm = state.kf_normals[idx]
+        r = jnp.sum(nrm * (src_t - q), axis=-1)
+        w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
+        J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
+        Jw = J * w[:, None]
+        A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
+        b = -(Jw.T @ r)
+        xi = jnp.linalg.solve(A, b)
+        return se3.se3_exp(xi) @ T, None
+
+    T, _ = jax.lax.scan(gn_body, T0, None, length=cfg.icp_iterations)
+    _, _, d2, gate = correspondences(T)
+
+    num_corr = jnp.sum(gate, dtype=jnp.int32)
+    denom = jnp.maximum(jnp.sum(src_mask, dtype=jnp.int32), 1)
+    overlap = num_corr.astype(jnp.float32) / denom.astype(jnp.float32)
+    fitness = jnp.sum(d2 * gate) / jnp.maximum(num_corr.astype(d2.dtype), 1.0)
+
+    new_pose = state.kf_pose @ T
+
+    # Keyframe promotion decision.
+    delta = se3.se3_log(T)
+    trans = jnp.linalg.norm(delta[:3])
+    rot = jnp.linalg.norm(delta[3:])
+    promote = (
+        (trans > cfg.kf_translation)
+        | (rot > cfg.kf_rotation)
+        | (overlap < cfg.kf_min_overlap)
+    )
+
+    sel = promote
+    new_state = OdometryState(
+        pose=new_pose,
+        kf_pose=jnp.where(sel, new_pose, state.kf_pose),
+        kf_points=jnp.where(sel, apply_mask(new_kf_pts, new_kf_mask), state.kf_points),
+        kf_normals=jnp.where(sel, new_kf_norm, state.kf_normals),
+        kf_mask=jnp.where(sel, new_kf_mask, state.kf_mask),
+        frame_index=state.frame_index + 1,
+        num_keyframes=state.num_keyframes + sel.astype(jnp.int32),
+    )
+    diag = OdometryDiag(fitness=fitness, overlap=overlap, promoted=promote, num_corr=num_corr)
+    return new_state, diag
+
+
+def run_odometry(camera: PinholeCamera, depths, cfg: OdometryConfig = OdometryConfig()):
+    """Host loop over a depth stream; returns (poses list, diags list)."""
+    state = init_state(camera, jnp.asarray(depths[0]), cfg)
+    poses = [jnp.eye(4)]
+    diags = []
+    for depth in depths[1:]:
+        state, diag = odometry_step(state, jnp.asarray(depth), camera, cfg)
+        poses.append(state.pose)
+        diags.append(diag)
+    return poses, diags

@@ -1,0 +1,96 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perception_tpu.geometry import se3
+from perception_tpu.geometry.camera import PinholeCamera
+from perception_tpu.models.slam.odometry import (
+    OdometryConfig,
+    init_state,
+    odometry_step,
+    run_odometry,
+)
+from perception_tpu.utils.metrics import ate
+
+
+def render_room_depth(camera, T_wc, seed=0, noise=0.001):
+    """Depth of a synthetic 'room': floor, ceiling, two walls — enough
+    visible orthogonal structure to fully constrain ICP (a single
+    dominant plane leaves the in-plane translation unobservable)."""
+    H, W = camera.height, camera.width
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = float(camera.cx), float(camera.cy)
+    vv, uu = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    rays_c = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu, float)], -1)
+    T = np.asarray(T_wc, np.float64)
+    o = T[:3, 3]
+    d = rays_c @ T[:3, :3].T  # ray dirs in world
+
+    depth = np.full((H, W), np.inf)
+    # Planes: n.p = c (floor y=0.8, ceiling y=-0.8, wall z=3, wall x=1.2)
+    for n, c in [((0, 1.0, 0), 0.8), ((0, -1.0, 0), 0.8), ((0, 0, 1.0), 3.0), ((1.0, 0, 0), 1.2)]:
+        n = np.asarray(n)
+        denom = d @ n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (c - o @ n) / denom
+        t = np.where((t > 0.1) & (denom != 0), t, np.inf)
+        z = t * rays_c[..., 2]
+        depth = np.minimum(depth, np.where(np.isfinite(t), z, np.inf))
+
+    depth[~np.isfinite(depth)] = 0.0
+    rng = np.random.RandomState(seed)
+    return (depth + rng.randn(H, W) * noise).astype(np.float32)
+
+
+def small_camera():
+    # Wide FOV so floor/ceiling/side-wall all occupy real image area.
+    return PinholeCamera.from_K([55.0, 0, 40, 0, 55.0, 30, 0, 0, 1], width=80, height=60)
+
+
+def trajectory(n, step=0.02, yaw_step=0.01):
+    Ts = []
+    for i in range(n):
+        tw = jnp.asarray([step * i, 0.0, step * 0.5 * i, 0.0, yaw_step * i, 0.0], jnp.float32)
+        Ts.append(np.asarray(se3.se3_exp(tw)))
+    return Ts
+
+
+def test_odometry_tracks_motion():
+    cam = small_camera()
+    # normal_max_edge scaled up: this 80-px-fx camera has tangent
+    # lengths ~ depth/80, far beyond the real-camera 5 cm default.
+    cfg = OdometryConfig(point_budget=1024, keyframe_budget=2048, icp_iterations=8,
+                         min_depth=0.1, max_depth=6.0, normal_max_edge=0.5)
+    gt = trajectory(8)
+    depths = [render_room_depth(cam, T, seed=i) for i, T in enumerate(gt)]
+    poses, diags = run_odometry(cam, depths, cfg)
+    est = np.stack([np.asarray(p) for p in poses])
+    r = ate(est, np.stack(gt), align=False)
+    assert r.rmse < 0.02, f"ATE {r.rmse}"
+    # Tracking quality diagnostics sane.
+    assert all(float(d.overlap) > 0.5 for d in diags)
+
+
+def test_odometry_static_camera_zero_motion():
+    cam = small_camera()
+    cfg = OdometryConfig(point_budget=512, keyframe_budget=1024, icp_iterations=6,
+                         min_depth=0.1, max_depth=6.0, normal_max_edge=0.5)
+    depth = render_room_depth(cam, np.eye(4), seed=0)
+    state = init_state(cam, jnp.asarray(depth), cfg)
+    state, diag = odometry_step(state, jnp.asarray(render_room_depth(cam, np.eye(4), seed=1)), cam, cfg)
+    err = np.linalg.norm(np.asarray(state.pose)[:3, 3])
+    assert err < 0.005
+    assert not bool(diag.promoted)
+
+
+def test_keyframe_promotion_on_motion():
+    cam = small_camera()
+    cfg = OdometryConfig(point_budget=512, keyframe_budget=1024, icp_iterations=8,
+                         kf_translation=0.05, min_depth=0.1, max_depth=6.0, normal_max_edge=0.5)
+    T1 = np.asarray(se3.se3_exp(jnp.asarray([0.08, 0, 0, 0, 0, 0], jnp.float32)))
+    state = init_state(cam, jnp.asarray(render_room_depth(cam, np.eye(4))), cfg)
+    state, diag = odometry_step(state, jnp.asarray(render_room_depth(cam, T1, seed=1)), cam, cfg)
+    assert bool(diag.promoted)
+    assert int(state.num_keyframes) == 2
+    # New keyframe pose = current pose.
+    np.testing.assert_allclose(np.asarray(state.kf_pose), np.asarray(state.pose))
