@@ -1,0 +1,239 @@
+"""SLAM back-end: local bundle adjustment + pose-graph optimization.
+
+New capability (the reference's only nonlinear refinement is Ceres
+triangulation, ``openpose/src/openpose/3d/poseTriangulation.cpp:228-269``,
+and Caffe's SGD solver). TPU-first design:
+
+  * **Local BA** — Levenberg-Marquardt over M keyframe poses and L
+    landmarks with a *dense* Schur complement: per-observation
+    Jacobians are built batched, the pose/landmark blocks are
+    segment-summed, landmarks are eliminated by batched 3x3 inverses,
+    and the reduced (6M, 6M) camera system is assembled with einsums —
+    for local windows (M <= 16) the reduced system is tiny and the
+    whole iteration is matmul-shaped (MXU) rather than sparse-graph
+    shaped. Gauge is fixed by freezing pose 0.
+  * **Pose graph** — Gauss-Newton on SE(3) edge residuals
+    r_e = log(T_meas^-1 T_i^-1 T_j) with autodiff Jacobians (jacfwd
+    over the stacked update twists) and a dense (6N, 6N) solve; N up
+    to a few hundred nodes stays comfortably on-chip.
+
+Both are pure jitted functions: (state) -> (state), vmap/shard-ready
+(the distributed variant psums the block sums — parallel/ba_dist.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from perception_tpu.geometry import se3
+
+
+class BAProblem(NamedTuple):
+    poses_wc: jax.Array    # (M, 4, 4) world <- camera
+    landmarks: jax.Array   # (L, 3) world points
+    obs_pose: jax.Array    # (O,) int32 pose index per observation
+    obs_lm: jax.Array      # (O,) int32 landmark index
+    obs_uv: jax.Array      # (O, 2) measured pixels
+    obs_mask: jax.Array    # (O,) valid
+
+
+class BAResult(NamedTuple):
+    poses_wc: jax.Array
+    landmarks: jax.Array
+    initial_cost: jax.Array  # () mean squared reprojection error (px^2)
+    final_cost: jax.Array
+
+
+def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy, cx, cy):
+    """Residuals (O, 2) + camera-frame points (O, 3) + per-obs R_cw."""
+    R = T_cw[obs_pose, :3, :3]          # (O, 3, 3)
+    t = T_cw[obs_pose, :3, 3]           # (O, 3)
+    X = landmarks[obs_lm]               # (O, 3)
+    pc = jnp.einsum("oij,oj->oi", R, X) + t
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    u = fx * pc[:, 0] / z + cx
+    v = fy * pc[:, 1] / z + cy
+    r = jnp.stack([u, v], axis=-1) - obs_uv
+    r = jnp.where(obs_mask[:, None] & (pc[:, 2:3] > 1e-3), r, 0.0)
+    return r, pc, R
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def bundle_adjust(
+    problem: BAProblem,
+    fx, fy, cx, cy,
+    iterations: int = 10,
+    damping: float = 1e-3,
+    huber_px: float = 3.0,
+) -> BAResult:
+    M = problem.poses_wc.shape[0]
+    L = problem.landmarks.shape[0]
+
+    T_cw0 = se3.inverse(problem.poses_wc)
+    fx = jnp.asarray(fx, jnp.float32)
+    fy = jnp.asarray(fy, jnp.float32)
+    cx = jnp.asarray(cx, jnp.float32)
+    cy = jnp.asarray(cy, jnp.float32)
+
+    def cost(T_cw, lms):
+        r, _, _ = _proj_residuals(
+            T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
+            problem.obs_mask, fx, fy, cx, cy,
+        )
+        n = jnp.maximum(jnp.sum(problem.obs_mask), 1)
+        return jnp.sum(r * r) / n
+
+    def iteration(carry, _):
+        T_cw, lms, lam = carry
+        r, pc, Rcw = _proj_residuals(
+            T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
+            problem.obs_mask, fx, fy, cx, cy,
+        )
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        # d(project)/d(pc): (O, 2, 3)
+        zero = jnp.zeros_like(z)
+        Jproj = jnp.stack(
+            [
+                jnp.stack([fx / z, zero, -fx * pc[:, 0] / (z * z)], axis=-1),
+                jnp.stack([zero, fy / z, -fy * pc[:, 1] / (z * z)], axis=-1),
+            ],
+            axis=-2,
+        )
+        # Pose block: left-mult update T_cw <- exp(xi) T_cw, so
+        # d pc/d xi = [I | -hat(pc)] (3, 6).
+        I3 = jnp.broadcast_to(jnp.eye(3), (r.shape[0], 3, 3))
+        dpc_dxi = jnp.concatenate([I3, -se3.hat(pc)], axis=-1)  # (O, 3, 6)
+        Jp = jnp.einsum("oab,obc->oac", Jproj, dpc_dxi)          # (O, 2, 6)
+        Jl = jnp.einsum("oab,obc->oac", Jproj, Rcw)              # (O, 2, 3)
+
+        # Huber IRLS weights on the residual norm.
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+        w = w * problem.obs_mask
+        Jp = Jp * w[:, None, None]
+        Jl_w = Jl * w[:, None, None]
+
+        # Block sums.
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("oai,oaj->oij", Jp, Jp) / jnp.maximum(w, 1e-9)[:, None, None],
+            problem.obs_pose, num_segments=M,
+        )
+        # note: Jp already carries w; divide once so Hpp = sum w Jp^T Jp.
+        Hll = jax.ops.segment_sum(
+            jnp.einsum("oai,oaj->oij", Jl_w, Jl) , problem.obs_lm, num_segments=L,
+        )
+        bp = -jax.ops.segment_sum(
+            jnp.einsum("oai,oa->oi", Jp, r), problem.obs_pose, num_segments=M
+        )
+        bl = -jax.ops.segment_sum(
+            jnp.einsum("oai,oa->oi", Jl_w, r), problem.obs_lm, num_segments=L
+        )
+        # Coupling blocks aggregated into the dense (L, M, 6, 3) tensor.
+        Wkl = jnp.einsum("oai,oaj->oij", Jp, Jl)  # (O, 6, 3), carries w once
+        U = jax.ops.segment_sum(
+            Wkl, problem.obs_lm * M + problem.obs_pose, num_segments=L * M
+        ).reshape(L, M, 6, 3)
+
+        # LM damping + landmark elimination.
+        Hll_d = Hll + lam * jnp.broadcast_to(jnp.eye(3), (L, 3, 3))
+        # Guard unobserved landmarks (singular blocks).
+        seen = jnp.diagonal(Hll, axis1=1, axis2=2).sum(-1) > 1e-9
+        Hll_inv = jnp.linalg.inv(
+            jnp.where(seen[:, None, None], Hll_d, jnp.broadcast_to(jnp.eye(3), (L, 3, 3)))
+        )
+
+        S = jnp.zeros((M, 6, M, 6))
+        S = S.at[jnp.arange(M), :, jnp.arange(M), :].add(
+            Hpp + lam * jnp.broadcast_to(jnp.eye(6), (M, 6, 6))
+        )
+        S = S - jnp.einsum("lkac,lcd,lmbd->kamb", U, Hll_inv, U)
+        rhs = bp - jnp.einsum("lkac,lcd,ld->ka", U, Hll_inv, bl)
+
+        # Gauge: freeze pose 0.
+        S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
+        S = S.at[0, jnp.arange(6), 0, jnp.arange(6)].set(1.0)
+        rhs = rhs.at[0].set(0.0)
+
+        dxi = jnp.linalg.solve(S.reshape(6 * M, 6 * M), rhs.reshape(6 * M)).reshape(M, 6)
+        dX = jnp.einsum("lcd,ld->lc", Hll_inv, bl - jnp.einsum("lkdc,kd->lc", U, dxi))
+        dX = jnp.where(seen[:, None], dX, 0.0)
+
+        T_new = se3.se3_exp(dxi) @ T_cw
+        lms_new = lms + dX
+
+        # Accept/reject (LM): keep the step only if the cost decreased.
+        c_old = cost(T_cw, lms)
+        c_new = cost(T_new, lms_new)
+        better = c_new < c_old
+        T_out = jnp.where(better, T_new, T_cw)
+        lms_out = jnp.where(better, lms_new, lms)
+        lam_out = jnp.where(better, lam * 0.5, lam * 4.0)
+        return (T_out, lms_out, lam_out), None
+
+    c0 = cost(T_cw0, problem.landmarks)
+    (T_cw, lms, _), _ = jax.lax.scan(
+        iteration, (T_cw0, problem.landmarks, jnp.float32(damping)), None, length=iterations
+    )
+    return BAResult(
+        poses_wc=se3.inverse(T_cw),
+        landmarks=lms,
+        initial_cost=c0,
+        final_cost=cost(T_cw, lms),
+    )
+
+
+class PoseGraph(NamedTuple):
+    poses_wc: jax.Array   # (N, 4, 4)
+    edge_i: jax.Array     # (E,) int32
+    edge_j: jax.Array     # (E,) int32
+    edge_T: jax.Array     # (E, 4, 4) measured T_i^-1 T_j
+    edge_weight: jax.Array  # (E,)
+    edge_mask: jax.Array  # (E,)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def optimize_pose_graph(
+    graph: PoseGraph,
+    iterations: int = 10,
+    damping: float = 1e-4,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (optimized poses (N,4,4), initial_cost, final_cost)."""
+    N = graph.poses_wc.shape[0]
+    Tm_inv = se3.inverse(graph.edge_T)
+    w = (graph.edge_weight * graph.edge_mask).astype(jnp.float32)
+
+    def residuals(delta, poses):
+        # Right-multiplicative update: T_k <- T_k exp(delta_k).
+        T = poses @ se3.se3_exp(delta)
+        Ti = T[graph.edge_i]
+        Tj = T[graph.edge_j]
+        r = se3.se3_log(Tm_inv @ se3.inverse(Ti) @ Tj)  # (E, 6)
+        return r * jnp.sqrt(jnp.maximum(w, 0.0))[:, None]
+
+    def cost(poses):
+        r = residuals(jnp.zeros((N, 6)), poses)
+        return jnp.sum(r * r) / jnp.maximum(jnp.sum(graph.edge_mask), 1)
+
+    def iteration(poses, _):
+        zero = jnp.zeros((N, 6))
+        r0 = residuals(zero, poses).reshape(-1)
+        J = jax.jacfwd(lambda d: residuals(d, poses).reshape(-1))(zero)  # (6E, N, 6)
+        J = J.reshape(r0.shape[0], N * 6)
+        H = J.T @ J + damping * jnp.eye(N * 6)
+        g = -(J.T @ r0)
+        # Gauge: freeze node 0.
+        H = H.at[:6].set(0.0).at[:, :6].set(0.0)
+        H = H.at[jnp.arange(6), jnp.arange(6)].set(1.0)
+        g = g.at[:6].set(0.0)
+        delta = jnp.linalg.solve(H, g).reshape(N, 6)
+        new_poses = poses @ se3.se3_exp(delta)
+        better = cost(new_poses) < cost(poses)
+        return jnp.where(better, new_poses, poses), None
+
+    c0 = cost(graph.poses_wc)
+    poses, _ = jax.lax.scan(iteration, graph.poses_wc, None, length=iterations)
+    return poses, c0, cost(poses)

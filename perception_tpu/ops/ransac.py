@@ -62,14 +62,23 @@ def _plane_from_triplets(p0, p1, p2) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def _score(points, mask, normals, d, threshold):
-    """Inlier count per hypothesis: fused distance matmul + masked sum.
+    """Inlier count per hypothesis (jnp oracle for the Pallas kernel).
 
-    points (N, 3) @ normals^T (3, K) -> (N, K) on the MXU; |.| + d and
-    the threshold compare are elementwise fused by XLA.
+    points (N, 3) @ normals^T (3, K) -> (N, K); |.| + d and the
+    threshold compare are elementwise fused by XLA.
     """
     dist = jnp.abs(points @ normals.T + d[None, :])  # (N, K)
     inl = (dist <= threshold) & mask[:, None]
     return jnp.sum(inl, axis=0, dtype=jnp.int32)  # (K,)
+
+
+def _score_fused(points, mask, normals, d, threshold):
+    """Production scorer: the fused Pallas masked-reduction kernel (the
+    (N, K) distance matrix never touches HBM; exact IEEE f32 so counts
+    match the CPU oracle bit-for-bit)."""
+    from perception_tpu.ops.pallas.ransac_score import ransac_score_pallas
+
+    return ransac_score_pallas(points, mask, normals, d, threshold).astype(jnp.int32)
 
 
 def _refit(points, mask, inliers) -> Tuple[jax.Array, jax.Array]:
@@ -114,7 +123,7 @@ def ransac_plane(
     p0, p1, p2 = points[idx[:, 0]], points[idx[:, 1]], points[idx[:, 2]]
     normals, d, nondegenerate = _plane_from_triplets(p0, p1, p2)
 
-    scores = _score(points, mask, normals, d, threshold)
+    scores = _score_fused(points, mask, normals, d, threshold)
     scores = jnp.where(nondegenerate, scores, -1)
 
     if model != "plane":
