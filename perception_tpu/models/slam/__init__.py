@@ -1,1 +1,1 @@
-from perception_tpu.models.slam import odometry  # noqa: F401
+from perception_tpu.models.slam import odometry, backend, system  # noqa: F401

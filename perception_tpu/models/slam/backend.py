@@ -62,6 +62,85 @@ def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy,
     return r, pc, R
 
 
+def ba_blocks(T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask,
+              fx, fy, cx, cy, M: int, L: int, huber_px: float):
+    """Per-iteration normal-equation blocks from a set of observations.
+
+    Returns (Hpp (M,6,6), Hll (L,3,3), U (L,M,6,3), bp (M,6), bl (L,3)).
+    Pure sums over observations, so a mesh-sharded observation set just
+    psums these outputs (parallel/ba_dist.py) — the distributed
+    Schur-complement reduction of the north star.
+    """
+    r, pc, Rcw = _proj_residuals(
+        T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy, cx, cy
+    )
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    zero = jnp.zeros_like(z)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx / z, zero, -fx * pc[:, 0] / (z * z)], axis=-1),
+            jnp.stack([zero, fy / z, -fy * pc[:, 1] / (z * z)], axis=-1),
+        ],
+        axis=-2,
+    )
+    # Pose block: left-mult update T_cw <- exp(xi) T_cw, so
+    # d pc/d xi = [I | -hat(pc)] (3, 6).
+    I3 = jnp.broadcast_to(jnp.eye(3), (r.shape[0], 3, 3))
+    dpc_dxi = jnp.concatenate([I3, -se3.hat(pc)], axis=-1)  # (O, 3, 6)
+    Jp = jnp.einsum("oab,obc->oac", Jproj, dpc_dxi)          # (O, 2, 6)
+    Jl = jnp.einsum("oab,obc->oac", Jproj, Rcw)              # (O, 2, 3)
+
+    # Huber IRLS weights on the residual norm.
+    rn = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+    w = w * obs_mask
+    Jp = Jp * w[:, None, None]
+    Jl_w = Jl * w[:, None, None]
+
+    # Block sums. (Jp carries w; dividing once gives sum w Jp^T Jp.)
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("oai,oaj->oij", Jp, Jp) / jnp.maximum(w, 1e-9)[:, None, None],
+        obs_pose, num_segments=M,
+    )
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("oai,oaj->oij", Jl_w, Jl), obs_lm, num_segments=L,
+    )
+    bp = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), obs_pose, num_segments=M)
+    bl = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jl_w, r), obs_lm, num_segments=L)
+    Wkl = jnp.einsum("oai,oaj->oij", Jp, Jl)  # (O, 6, 3), carries w once
+    U = jax.ops.segment_sum(
+        Wkl, obs_lm * M + obs_pose, num_segments=L * M
+    ).reshape(L, M, 6, 3)
+    return Hpp, Hll, U, bp, bl
+
+
+def ba_schur_solve(Hpp, Hll, U, bp, bl, lam, M: int, L: int):
+    """Eliminate landmarks, solve the reduced camera system, and
+    back-substitute. Returns (dxi (M,6), dX (L,3), seen (L,))."""
+    Hll_d = Hll + lam * jnp.broadcast_to(jnp.eye(3), (L, 3, 3))
+    seen = jnp.diagonal(Hll, axis1=1, axis2=2).sum(-1) > 1e-9
+    Hll_inv = jnp.linalg.inv(
+        jnp.where(seen[:, None, None], Hll_d, jnp.broadcast_to(jnp.eye(3), (L, 3, 3)))
+    )
+
+    S = jnp.zeros((M, 6, M, 6))
+    S = S.at[jnp.arange(M), :, jnp.arange(M), :].add(
+        Hpp + lam * jnp.broadcast_to(jnp.eye(6), (M, 6, 6))
+    )
+    S = S - jnp.einsum("lkac,lcd,lmbd->kamb", U, Hll_inv, U)
+    rhs = bp - jnp.einsum("lkac,lcd,ld->ka", U, Hll_inv, bl)
+
+    # Gauge: freeze pose 0.
+    S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
+    S = S.at[0, jnp.arange(6), 0, jnp.arange(6)].set(1.0)
+    rhs = rhs.at[0].set(0.0)
+
+    dxi = jnp.linalg.solve(S.reshape(6 * M, 6 * M), rhs.reshape(6 * M)).reshape(M, 6)
+    dX = jnp.einsum("lcd,ld->lc", Hll_inv, bl - jnp.einsum("lkdc,kd->lc", U, dxi))
+    dX = jnp.where(seen[:, None], dX, 0.0)
+    return dxi, dX, seen
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def bundle_adjust(
     problem: BAProblem,
@@ -89,78 +168,12 @@ def bundle_adjust(
 
     def iteration(carry, _):
         T_cw, lms, lam = carry
-        r, pc, Rcw = _proj_residuals(
+        Hpp, Hll, U, bp, bl = ba_blocks(
             T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
-            problem.obs_mask, fx, fy, cx, cy,
-        )
-        z = jnp.maximum(pc[:, 2], 1e-6)
-        # d(project)/d(pc): (O, 2, 3)
-        zero = jnp.zeros_like(z)
-        Jproj = jnp.stack(
-            [
-                jnp.stack([fx / z, zero, -fx * pc[:, 0] / (z * z)], axis=-1),
-                jnp.stack([zero, fy / z, -fy * pc[:, 1] / (z * z)], axis=-1),
-            ],
-            axis=-2,
-        )
-        # Pose block: left-mult update T_cw <- exp(xi) T_cw, so
-        # d pc/d xi = [I | -hat(pc)] (3, 6).
-        I3 = jnp.broadcast_to(jnp.eye(3), (r.shape[0], 3, 3))
-        dpc_dxi = jnp.concatenate([I3, -se3.hat(pc)], axis=-1)  # (O, 3, 6)
-        Jp = jnp.einsum("oab,obc->oac", Jproj, dpc_dxi)          # (O, 2, 6)
-        Jl = jnp.einsum("oab,obc->oac", Jproj, Rcw)              # (O, 2, 3)
-
-        # Huber IRLS weights on the residual norm.
-        rn = jnp.linalg.norm(r, axis=-1)
-        w = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
-        w = w * problem.obs_mask
-        Jp = Jp * w[:, None, None]
-        Jl_w = Jl * w[:, None, None]
-
-        # Block sums.
-        Hpp = jax.ops.segment_sum(
-            jnp.einsum("oai,oaj->oij", Jp, Jp) / jnp.maximum(w, 1e-9)[:, None, None],
-            problem.obs_pose, num_segments=M,
-        )
-        # note: Jp already carries w; divide once so Hpp = sum w Jp^T Jp.
-        Hll = jax.ops.segment_sum(
-            jnp.einsum("oai,oaj->oij", Jl_w, Jl) , problem.obs_lm, num_segments=L,
-        )
-        bp = -jax.ops.segment_sum(
-            jnp.einsum("oai,oa->oi", Jp, r), problem.obs_pose, num_segments=M
-        )
-        bl = -jax.ops.segment_sum(
-            jnp.einsum("oai,oa->oi", Jl_w, r), problem.obs_lm, num_segments=L
-        )
-        # Coupling blocks aggregated into the dense (L, M, 6, 3) tensor.
-        Wkl = jnp.einsum("oai,oaj->oij", Jp, Jl)  # (O, 6, 3), carries w once
-        U = jax.ops.segment_sum(
-            Wkl, problem.obs_lm * M + problem.obs_pose, num_segments=L * M
-        ).reshape(L, M, 6, 3)
-
-        # LM damping + landmark elimination.
-        Hll_d = Hll + lam * jnp.broadcast_to(jnp.eye(3), (L, 3, 3))
-        # Guard unobserved landmarks (singular blocks).
-        seen = jnp.diagonal(Hll, axis1=1, axis2=2).sum(-1) > 1e-9
-        Hll_inv = jnp.linalg.inv(
-            jnp.where(seen[:, None, None], Hll_d, jnp.broadcast_to(jnp.eye(3), (L, 3, 3)))
+            problem.obs_mask, fx, fy, cx, cy, M, L, huber_px,
         )
 
-        S = jnp.zeros((M, 6, M, 6))
-        S = S.at[jnp.arange(M), :, jnp.arange(M), :].add(
-            Hpp + lam * jnp.broadcast_to(jnp.eye(6), (M, 6, 6))
-        )
-        S = S - jnp.einsum("lkac,lcd,lmbd->kamb", U, Hll_inv, U)
-        rhs = bp - jnp.einsum("lkac,lcd,ld->ka", U, Hll_inv, bl)
-
-        # Gauge: freeze pose 0.
-        S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
-        S = S.at[0, jnp.arange(6), 0, jnp.arange(6)].set(1.0)
-        rhs = rhs.at[0].set(0.0)
-
-        dxi = jnp.linalg.solve(S.reshape(6 * M, 6 * M), rhs.reshape(6 * M)).reshape(M, 6)
-        dX = jnp.einsum("lcd,ld->lc", Hll_inv, bl - jnp.einsum("lkdc,kd->lc", U, dxi))
-        dX = jnp.where(seen[:, None], dX, 0.0)
+        dxi, dX, _ = ba_schur_solve(Hpp, Hll, U, bp, bl, lam, M, L)
 
         T_new = se3.se3_exp(dxi) @ T_cw
         lms_new = lms + dX

@@ -1,0 +1,285 @@
+"""Full keyframe SLAM system: dense odometry + sparse loop closure +
+pose-graph correction (BASELINE.json config #4).
+
+Architecture (all state on-device, fixed capacities, one jitted step):
+
+  depth, gray ──► odometry_step (dense point-to-plane GN vs current
+                  keyframe — models/slam/odometry.py)
+        │ promoted?
+        ▼
+  KeyframeStore: poses, subsampled clouds+normals (for ICP), FAST/BRIEF
+  keypoints with 3-D backprojections (for loop closure), ring-buffer
+  slots masked by validity
+        │ on promotion
+        ▼
+  loop-closure probe: match the new keyframe's descriptors against all
+  stored keyframes (batched Hamming), pick the best non-adjacent
+  candidate, verify with RANSAC rigid 3D-3D; a verified closure appends
+  a pose-graph edge
+        │
+        ▼
+  pose-graph GN over keyframe poses (models/slam/backend.py) — invoked
+  by the host when a closure arrives (the expensive, rare path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from perception_tpu.geometry import se3
+from perception_tpu.geometry.camera import PinholeCamera
+from perception_tpu.models.slam.backend import PoseGraph, optimize_pose_graph
+from perception_tpu.models.slam.odometry import (
+    OdometryConfig,
+    OdometryState,
+    _frame_features,
+    init_state as odom_init,
+    odometry_step,
+)
+from perception_tpu.ops.features import (
+    brief_describe,
+    fast_detect,
+    match_descriptors,
+)
+from perception_tpu.ops.registration import ransac_rigid
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    odometry: OdometryConfig = OdometryConfig()
+    max_keyframes: int = 64
+    max_edges: int = 160
+    features_per_kf: int = 256
+    fast_threshold: float = 25.0
+    # Loop closure gates
+    lc_min_gap: int = 3              # skip adjacent keyframes
+    lc_min_matches: int = 25
+    lc_ransac_threshold: float = 0.05
+    lc_min_inliers: int = 12
+
+
+class KeyframeStore(NamedTuple):
+    poses: jax.Array       # (K, 4, 4) world <- kf camera
+    desc: jax.Array        # (K, F, 8) uint32 BRIEF
+    kp_xyz: jax.Array      # (K, F, 3) keypoint 3-D points, kf camera frame
+    kp_mask: jax.Array     # (K, F)
+    valid: jax.Array       # (K,)
+    count: jax.Array       # () int32
+
+
+class EdgeList(NamedTuple):
+    i: jax.Array          # (E,)
+    j: jax.Array          # (E,)
+    T: jax.Array          # (E, 4, 4)
+    weight: jax.Array     # (E,)
+    mask: jax.Array       # (E,)
+    count: jax.Array      # ()
+
+
+class SlamState(NamedTuple):
+    odom: OdometryState
+    keyframes: KeyframeStore
+    edges: EdgeList
+    current_kf: jax.Array     # () int32 index of the active keyframe
+    loop_found: jax.Array     # () bool — a closure was added this step
+
+
+class SlamDiag(NamedTuple):
+    promoted: jax.Array
+    loop_candidate: jax.Array  # () int32 candidate kf (-1 none)
+    loop_matches: jax.Array
+    loop_inliers: jax.Array
+    overlap: jax.Array
+
+
+def _kf_features(camera: PinholeCamera, depth, gray, cfg: SlamConfig):
+    """Sparse features of a frame for the loop-closure store."""
+    kps = fast_detect(
+        gray, threshold=cfg.fast_threshold, max_keypoints=cfg.features_per_kf
+    )
+    desc = brief_describe(gray, kps)
+    # Backproject keypoints with the depth image.
+    u = jnp.clip(kps.uv[:, 0].astype(jnp.int32), 0, camera.width - 1)
+    v = jnp.clip(kps.uv[:, 1].astype(jnp.int32), 0, camera.height - 1)
+    z = depth[v, u]
+    ok = kps.mask & jnp.isfinite(z) & (z > 0.1)
+    z = jnp.where(ok, z, 0.0)
+    x = (u.astype(jnp.float32) - camera.cx) / camera.fx * z
+    y = (v.astype(jnp.float32) - camera.cy) / camera.fy * z
+    return desc, jnp.stack([x, y, z], axis=-1), ok
+
+
+def slam_init(
+    camera: PinholeCamera, depth0, gray0, cfg: SlamConfig = SlamConfig()
+) -> SlamState:
+    odom = odom_init(camera, depth0, cfg.odometry)
+    K, F, E = cfg.max_keyframes, cfg.features_per_kf, cfg.max_edges
+    desc0, xyz0, m0 = _kf_features(camera, depth0, gray0, cfg)
+
+    kf = KeyframeStore(
+        poses=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)).at[0].set(jnp.eye(4)),
+        desc=jnp.zeros((K, F, 8), jnp.uint32).at[0].set(desc0),
+        kp_xyz=jnp.zeros((K, F, 3)).at[0].set(xyz0),
+        kp_mask=jnp.zeros((K, F), bool).at[0].set(m0),
+        valid=jnp.zeros(K, bool).at[0].set(True),
+        count=jnp.int32(1),
+    )
+    edges = EdgeList(
+        i=jnp.zeros(E, jnp.int32),
+        j=jnp.zeros(E, jnp.int32),
+        T=jnp.broadcast_to(jnp.eye(4), (E, 4, 4)),
+        weight=jnp.zeros(E),
+        mask=jnp.zeros(E, bool),
+        count=jnp.int32(0),
+    )
+    return SlamState(
+        odom=odom, keyframes=kf, edges=edges,
+        current_kf=jnp.int32(0), loop_found=jnp.bool_(False),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def slam_step(
+    state: SlamState,
+    depth: jax.Array,
+    gray: jax.Array,
+    camera: PinholeCamera,
+    key: jax.Array,
+    cfg: SlamConfig = SlamConfig(),
+) -> Tuple[SlamState, SlamDiag]:
+    odom, odiag = odometry_step(state.odom, depth, camera, cfg.odometry)
+    kf = state.keyframes
+    edges = state.edges
+    cur = state.current_kf
+
+    promoted = odiag.promoted
+    slot = jnp.minimum(kf.count, cfg.max_keyframes - 1)
+
+    # --- keyframe insertion (masked write at `slot`) -------------------
+    desc, xyz, kpm = _kf_features(camera, depth, gray, cfg)
+    kf2 = KeyframeStore(
+        poses=kf.poses.at[slot].set(jnp.where(promoted, odom.pose, kf.poses[slot])),
+        desc=kf.desc.at[slot].set(jnp.where(promoted, desc, kf.desc[slot])),
+        kp_xyz=kf.kp_xyz.at[slot].set(jnp.where(promoted, xyz, kf.kp_xyz[slot])),
+        kp_mask=kf.kp_mask.at[slot].set(jnp.where(promoted, kpm, kf.kp_mask[slot])),
+        valid=kf.valid.at[slot].set(jnp.where(promoted, True, kf.valid[slot])),
+        count=kf.count + promoted.astype(jnp.int32),
+    )
+
+    # --- odometry edge cur -> slot on promotion ------------------------
+    e_slot = jnp.minimum(edges.count, cfg.max_edges - 1)
+    T_rel = se3.inverse(kf.poses[cur]) @ odom.pose
+    edges2 = EdgeList(
+        i=edges.i.at[e_slot].set(jnp.where(promoted, cur, edges.i[e_slot])),
+        j=edges.j.at[e_slot].set(jnp.where(promoted, slot, edges.j[e_slot])),
+        T=edges.T.at[e_slot].set(jnp.where(promoted, T_rel, edges.T[e_slot])),
+        weight=edges.weight.at[e_slot].set(jnp.where(promoted, 1.0, edges.weight[e_slot])),
+        mask=edges.mask.at[e_slot].set(jnp.where(promoted, True, edges.mask[e_slot])),
+        count=edges.count + promoted.astype(jnp.int32),
+    )
+
+    # --- loop closure probe (only meaningful when promoted) ------------
+    # Batched match of the new descriptors against every stored keyframe.
+    def match_one(d_other, m_other):
+        m = match_descriptors(desc, kpm, d_other, m_other, max_matches=cfg.features_per_kf)
+        return m.idx_a, m.idx_b, m.mask
+
+    ia, ib, mm = jax.vmap(match_one)(kf2.desc, kf2.kp_mask)  # (K, F) each
+    match_counts = jnp.sum(mm, axis=1, dtype=jnp.int32)
+    kf_idx = jnp.arange(cfg.max_keyframes)
+    eligible = (
+        kf2.valid
+        & (kf_idx < kf2.count)
+        & (jnp.abs(kf_idx - slot) >= cfg.lc_min_gap)
+        & (kf_idx != cur)
+    )
+    match_counts = jnp.where(eligible, match_counts, -1)
+    cand = jnp.argmax(match_counts)
+    cand_matches = match_counts[cand]
+    probe = promoted & (cand_matches >= cfg.lc_min_matches)
+
+    # Geometric verification: rigid 3D-3D between matched keypoints.
+    src = xyz[ia[cand]]                 # new kf points (this camera frame)
+    dst = kf2.kp_xyz[cand][ib[cand]]    # candidate kf frame
+    pair_mask = mm[cand] & kpm[ia[cand]] & kf2.kp_mask[cand][ib[cand]]
+    fit = ransac_rigid(
+        src, dst, pair_mask, key,
+        threshold=cfg.lc_ransac_threshold,
+        num_hypotheses=128,
+        min_inliers=cfg.lc_min_inliers,
+    )
+    loop_ok = probe & fit.valid
+
+    e2 = jnp.minimum(edges2.count, cfg.max_edges - 1)
+    edges3 = EdgeList(
+        i=edges2.i.at[e2].set(jnp.where(loop_ok, cand, edges2.i[e2])),
+        j=edges2.j.at[e2].set(jnp.where(loop_ok, slot, edges2.j[e2])),
+        # fit maps new-kf points into candidate frame: T_cand_new.
+        T=edges2.T.at[e2].set(jnp.where(loop_ok, fit.transform, edges2.T[e2])),
+        weight=edges2.weight.at[e2].set(jnp.where(loop_ok, 2.0, edges2.weight[e2])),
+        mask=edges2.mask.at[e2].set(jnp.where(loop_ok, True, edges2.mask[e2])),
+        count=edges2.count + loop_ok.astype(jnp.int32),
+    )
+
+    new_state = SlamState(
+        odom=odom,
+        keyframes=kf2,
+        edges=edges3,
+        current_kf=jnp.where(promoted, slot, cur),
+        loop_found=loop_ok,
+    )
+    diag = SlamDiag(
+        promoted=promoted,
+        loop_candidate=jnp.where(probe, cand, -1).astype(jnp.int32),
+        loop_matches=cand_matches,
+        loop_inliers=fit.num_inliers,
+        overlap=odiag.overlap,
+    )
+    return new_state, diag
+
+
+def correct_with_pose_graph(state: SlamState, iterations: int = 10) -> SlamState:
+    """Run pose-graph GN over the keyframe poses and write them back
+    (host-triggered after a loop closure)."""
+    graph = PoseGraph(
+        poses_wc=state.keyframes.poses,
+        edge_i=state.edges.i,
+        edge_j=state.edges.j,
+        edge_T=state.edges.T,
+        edge_weight=state.edges.weight,
+        edge_mask=state.edges.mask,
+    )
+    opt, c0, c1 = optimize_pose_graph(graph, iterations=iterations)
+    # Keep invalid slots untouched; shift the live pose by the current
+    # keyframe's correction.
+    corr = opt[state.current_kf] @ se3.inverse(state.keyframes.poses[state.current_kf])
+    new_poses = jnp.where(state.keyframes.valid[:, None, None], opt, state.keyframes.poses)
+    new_odom = state.odom._replace(
+        pose=corr @ state.odom.pose,
+        kf_pose=corr @ state.odom.kf_pose,
+    )
+    return state._replace(
+        keyframes=state.keyframes._replace(poses=new_poses),
+        odom=new_odom,
+    )
+
+
+def run_slam(camera: PinholeCamera, depths, grays, cfg: SlamConfig = SlamConfig()):
+    """Host loop: track every frame, correct after each loop closure."""
+    state = slam_init(camera, jnp.asarray(depths[0]), jnp.asarray(grays[0]), cfg)
+    poses = [jnp.eye(4)]
+    diags = []
+    key = jax.random.key(0)
+    for t, (d, g) in enumerate(zip(depths[1:], grays[1:])):
+        key, sub = jax.random.split(key)
+        state, diag = slam_step(state, jnp.asarray(d), jnp.asarray(g), camera, sub, cfg)
+        if bool(state.loop_found):
+            state = correct_with_pose_graph(state)
+        poses.append(state.odom.pose)
+        diags.append(diag)
+    return state, poses, diags
