@@ -1,0 +1,108 @@
+"""Image encoding bridge: the cv_bridge capability without ROS.
+
+Parity with ``vision_opencv/cv_bridge``: an encoding registry
+(``getCvType``, ``cv_bridge.cpp:72-113``), conversion between encodings
+(``getConversionCode`` channel/bit-depth rules ``:199-244``, color
+table ``:143-197``), and raw-buffer <-> array views with explicit
+endianness (``matFromImage``). "Messages" here are plain dicts with
+``encoding``, ``height``, ``width``, ``step``, ``is_bigendian``,
+``data`` — the sensor_msgs/Image wire layout minus ROS.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+# encoding -> (numpy dtype, channels)
+ENCODINGS: Dict[str, tuple] = {
+    "mono8": (np.uint8, 1),
+    "mono16": (np.uint16, 1),
+    "bgr8": (np.uint8, 3),
+    "rgb8": (np.uint8, 3),
+    "bgra8": (np.uint8, 4),
+    "rgba8": (np.uint8, 4),
+    "8UC1": (np.uint8, 1),
+    "8UC3": (np.uint8, 3),
+    "16UC1": (np.uint16, 1),
+    "16SC1": (np.int16, 1),
+    "32SC1": (np.int32, 1),
+    "32FC1": (np.float32, 1),
+    "32FC3": (np.float32, 3),
+    "64FC1": (np.float64, 1),
+}
+
+
+def encoding_dtype(encoding: str):
+    if encoding not in ENCODINGS:
+        raise ValueError(f"unsupported encoding {encoding!r}")
+    return ENCODINGS[encoding]
+
+
+def image_to_array(msg: dict) -> np.ndarray:
+    """Image dict -> numpy array view (byteswapped if needed)."""
+    dtype, ch = encoding_dtype(msg["encoding"])
+    h, w, step = msg["height"], msg["width"], msg["step"]
+    buf = np.frombuffer(msg["data"], np.uint8).reshape(h, step)
+    row_bytes = w * ch * np.dtype(dtype).itemsize
+    rows = np.ascontiguousarray(buf[:, :row_bytes])
+    arr = rows.view(dtype)  # (h, w*ch) after the byte view
+    arr = arr.reshape(h, w, ch) if ch > 1 else arr.reshape(h, w)
+    big = bool(msg.get("is_bigendian", False))
+    if big != (np.dtype(dtype).byteorder == ">") and np.dtype(dtype).itemsize > 1:
+        arr = arr.byteswap()
+    return arr
+
+
+def array_to_image(arr: np.ndarray, encoding: str) -> dict:
+    dtype, ch = encoding_dtype(encoding)
+    arr = np.asarray(arr, dtype)
+    if ch == 1 and arr.ndim == 3:
+        arr = arr[..., 0]
+    if ch > 1 and (arr.ndim != 3 or arr.shape[2] != ch):
+        raise ValueError(f"array shape {arr.shape} does not match {encoding}")
+    h, w = arr.shape[:2]
+    return {
+        "encoding": encoding,
+        "height": h,
+        "width": w,
+        "step": w * ch * np.dtype(dtype).itemsize,
+        "is_bigendian": False,
+        "data": np.ascontiguousarray(arr).tobytes(),
+    }
+
+
+_COLOR_PERMUTES = {
+    ("bgr8", "rgb8"): [2, 1, 0],
+    ("rgb8", "bgr8"): [2, 1, 0],
+    ("bgra8", "rgba8"): [2, 1, 0, 3],
+    ("rgba8", "bgra8"): [2, 1, 0, 3],
+}
+
+_GRAY_WEIGHTS = {"rgb8": (0.299, 0.587, 0.114), "bgr8": (0.114, 0.587, 0.299)}
+
+
+def convert_color(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """cvtColor-equivalent conversions between the registry encodings."""
+    if src == dst:
+        return arr
+    key = (src, dst)
+    if key in _COLOR_PERMUTES:
+        return arr[..., _COLOR_PERMUTES[key]]
+    if src in _GRAY_WEIGHTS and dst == "mono8":
+        w = np.asarray(_GRAY_WEIGHTS[src])
+        return np.clip(arr[..., :3].astype(np.float32) @ w, 0, 255).astype(np.uint8)
+    if src == "mono8" and dst in ("rgb8", "bgr8"):
+        return np.repeat(arr[..., None], 3, axis=-1)
+    if src == "mono16" and dst == "mono8":
+        return (arr >> 8).astype(np.uint8)
+    if src == "mono8" and dst == "mono16":
+        return arr.astype(np.uint16) << 8
+    # Drop/add alpha.
+    if src in ("rgba8", "bgra8") and dst == src[:3] + "8":
+        return arr[..., :3]
+    if src in ("rgb8", "bgr8") and dst == src[:3] + "a8":
+        a = np.full(arr.shape[:2] + (1,), 255, np.uint8)
+        return np.concatenate([arr, a], axis=-1)
+    raise ValueError(f"no conversion {src} -> {dst}")

@@ -1,0 +1,136 @@
+"""Output savers + senders (reference filestream module, SURVEY.md §2.5).
+
+Equivalents of OpenPose's ``filestream/``: people-JSON writer
+(``PeopleJsonSaver``), COCO-format keypoint results
+(``CocoJsonSaver`` — the val/test-dev evaluation path), raw keypoint
+dumps (``KeypointSaver``), heatmap float storage (``HeatMapSaver``),
+video writing (cv2-backed, ``VideoSaver``), and the asio UDP joint
+sender (``udpSender.cpp:19-61``) as a plain socket.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def save_people_json(path, keypoints: np.ndarray, mask: np.ndarray, part_names=None) -> None:
+    """OpenPose-style people JSON: pose_keypoints_2d flat [x, y, score] * P."""
+    people = []
+    for i in range(len(keypoints)):
+        if not bool(mask[i]):
+            continue
+        people.append({
+            "person_id": i,
+            "pose_keypoints_2d": np.asarray(keypoints[i]).reshape(-1).astype(float).tolist(),
+        })
+    doc = {"version": 1.3, "people": people}
+    if part_names:
+        doc["part_names"] = list(part_names)
+    Path(path).write_text(json.dumps(doc))
+
+
+def coco_keypoint_results(
+    image_ids: Sequence[int],
+    keypoints_batch: Sequence[np.ndarray],
+    masks_batch: Sequence[np.ndarray],
+    scores_batch: Sequence[np.ndarray],
+    category_id: int = 1,
+) -> list:
+    """COCO results-format list: one entry per detected person with
+    keypoints [x1, y1, v1, ...] and a detection score (CocoJsonSaver)."""
+    out = []
+    for img_id, kps, mask, scores in zip(image_ids, keypoints_batch, masks_batch, scores_batch):
+        for i in range(len(kps)):
+            if not bool(mask[i]):
+                continue
+            kp = np.asarray(kps[i])  # (P, 3)
+            coco_kp = []
+            for p in range(kp.shape[0]):
+                v = 2 if kp[p, 2] > 0 else 0
+                coco_kp.extend([float(kp[p, 0]), float(kp[p, 1]), v])
+            out.append({
+                "image_id": int(img_id),
+                "category_id": category_id,
+                "keypoints": coco_kp,
+                "score": float(scores[i]),
+            })
+    return out
+
+
+def save_coco_json(path, results: list) -> None:
+    Path(path).write_text(json.dumps(results))
+
+
+def save_keypoints_npy(path, keypoints: np.ndarray) -> None:
+    np.save(path, np.asarray(keypoints))
+
+
+def save_heatmaps(path, heatmaps: np.ndarray) -> None:
+    """Float heatmap storage (the reference writes float PNGs; npz is
+    the lossless equivalent)."""
+    np.savez_compressed(path, heatmaps=np.asarray(heatmaps, np.float32))
+
+
+def load_heatmaps(path) -> np.ndarray:
+    return np.load(path)["heatmaps"]
+
+
+class UdpSender:
+    """Joint/pose UDP sender (udpSender.cpp semantics): datagrams of
+    float32 payloads with a small header, fire-and-forget."""
+
+    MAGIC = b"PTPU"
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 5005):
+        self.addr = (host, port)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.seq = 0
+
+    def send_array(self, arr: np.ndarray, tag: int = 0) -> int:
+        payload = np.asarray(arr, np.float32).tobytes()
+        header = self.MAGIC + struct.pack("<IIH", self.seq, len(payload), tag)
+        n = self.sock.sendto(header + payload, self.addr)
+        self.seq += 1
+        return n
+
+    @staticmethod
+    def parse(datagram: bytes):
+        magic = datagram[:4]
+        if magic != UdpSender.MAGIC:
+            raise ValueError("bad magic")
+        seq, length, tag = struct.unpack("<IIH", datagram[4:14])
+        arr = np.frombuffer(datagram[14 : 14 + length], np.float32)
+        return seq, tag, arr
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class VideoWriter:
+    """cv2-backed video sink (VideoSaver equivalent)."""
+
+    def __init__(self, path, fps: float = 30.0, fourcc: str = "mp4v"):
+        import cv2
+
+        self.path = str(path)
+        self.fps = fps
+        self.fourcc = cv2.VideoWriter_fourcc(*fourcc)
+        self.writer = None
+
+    def write(self, frame_rgb: np.ndarray) -> None:
+        import cv2
+
+        if self.writer is None:
+            h, w = frame_rgb.shape[:2]
+            self.writer = cv2.VideoWriter(self.path, self.fourcc, self.fps, (w, h))
+        self.writer.write(frame_rgb[..., ::-1])  # RGB -> BGR
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.release()
