@@ -1,0 +1,106 @@
+"""Frame producers: video, webcam, image directory, synthetic.
+
+The reference's producer layer (``openpose/src/openpose/producer/``:
+VideoReader, WebcamReader, ImageDirectoryReader, IpCameraReader with
+fps-keeping and rotation). Host-edge cv2 capture + the native prefetch
+ring (`runtime.FramePrefetcher`) for directory streams; each producer
+yields RGB uint8 frames (+ timestamps), ready to stage onto the device.
+"""
+
+from __future__ import annotations
+
+import glob
+import time
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class VideoReader:
+    """cv2-backed video file reader (VideoReader equivalent)."""
+
+    def __init__(self, path, rotation: int = 0):
+        import cv2
+
+        self.cap = cv2.VideoCapture(str(path))
+        if not self.cap.isOpened():
+            raise FileNotFoundError(path)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.rotation = rotation
+
+    def frames(self) -> Iterator[Tuple[float, np.ndarray]]:
+        import cv2
+
+        t = 0.0
+        while True:
+            ok, bgr = self.cap.read()
+            if not ok:
+                break
+            rgb = bgr[..., ::-1]
+            if self.rotation:
+                rgb = np.rot90(rgb, self.rotation // 90)
+            yield t, np.ascontiguousarray(rgb)
+            t += 1.0 / self.fps
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+class WebcamReader(VideoReader):
+    """Live camera (WebcamReader equivalent; index instead of path)."""
+
+    def __init__(self, index: int = 0, width: int = 640, height: int = 480):
+        import cv2
+
+        self.cap = cv2.VideoCapture(index)
+        if not self.cap.isOpened():
+            raise RuntimeError(f"cannot open camera {index}")
+        self.cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+        self.cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.rotation = 0
+
+    def frames(self) -> Iterator[Tuple[float, np.ndarray]]:
+        import cv2
+
+        while True:
+            ok, bgr = self.cap.read()
+            if not ok:
+                break
+            yield time.time(), np.ascontiguousarray(bgr[..., ::-1])
+
+
+class ImageDirectoryReader:
+    """Sorted image-directory stream (ImageDirectoryReader equivalent)
+    with native read-ahead via the C++ prefetcher."""
+
+    def __init__(self, directory, pattern: str = "*.png", prefetch: bool = True):
+        self.paths = sorted(glob.glob(str(Path(directory) / pattern)))
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def frames(self) -> Iterator[Tuple[float, np.ndarray]]:
+        import cv2
+
+        if self.prefetch and self.paths:
+            from perception_tpu.runtime import FramePrefetcher
+
+            for i, raw in enumerate(FramePrefetcher(self.paths, threads=2, ring=4)):
+                buf = np.frombuffer(raw, np.uint8)
+                img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+                if img is None:
+                    continue
+                if img.ndim == 3:
+                    img = img[..., ::-1]
+                yield float(i), np.ascontiguousarray(img)
+        else:
+            for i, p in enumerate(self.paths):
+                img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                if img is None:
+                    continue
+                if img.ndim == 3:
+                    img = img[..., ::-1]
+                yield float(i), np.ascontiguousarray(img)
