@@ -33,14 +33,13 @@ def main() -> None:
 
     camera = PinholeCamera.d435_depth()
     template_np = benchmark_template()
-    raw_template = jnp.asarray(template_np)
-    raw_mask = jnp.ones(len(template_np), bool)
     config = CuboidConfig()
     # One-time template preprocessing (downsample to pipeline resolution
-    # + normals) — the session-constant part of the computation.
-    template, tnormals, template_mask = jax.jit(
-        lambda t, m: template_features(t, m, config)
-    )(raw_template, raw_mask)
+    # + normals) — host-side numpy, session-constant; keep it off the
+    # device so nothing round-trips the tunnel before the compile.
+    template, tnormals, template_mask = template_features(
+        template_np, np.ones(len(template_np), bool), config
+    )
 
     frames = [
         render_depth_tabletop(camera, seed=s,

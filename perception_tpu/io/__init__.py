@@ -1,1 +1,10 @@
-from perception_tpu.io import pcd, templates  # noqa: F401
+from perception_tpu.io import (  # noqa: F401
+    bvh,
+    camera_params,
+    imgcodec,
+    pcd,
+    producers,
+    savers,
+    templates,
+    tum,
+)

