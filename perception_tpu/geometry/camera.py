@@ -139,6 +139,36 @@ class PinholeCamera:
         x, y = jax.lax.fori_loop(0, iters, body, (x0, y0))
         return jnp.stack([self.fx * x + self.cx, self.fy * y + self.cy], axis=-1)
 
+    def rectify_image(self, image: jax.Array) -> jax.Array:
+        """Dense undistortion remap (rectifyImage / initRectificationMaps,
+        pinhole_camera_model.cpp:293,413 — R = I, P = K case).
+
+        For every rectified output pixel, find its distorted source
+        coordinate (forward distortion = ``unrectify_point``) and
+        bilinearly sample the raw image. Pure jnp — one fused gather on
+        TPU instead of OpenCV's precomputed CV_16SC2 maps. Accepts
+        (H, W) or (H, W, C) float/uint8; returns float32."""
+        img = jnp.asarray(image, jnp.float32)
+        squeeze = img.ndim == 2
+        if squeeze:
+            img = img[..., None]
+        h, w = img.shape[:2]
+        vv, uu = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        src = self.unrectify_point(jnp.stack([uu, vv], axis=-1))
+        x, y = src[..., 0], src[..., 1]
+        x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+        fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+        fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+        g = lambda yi, xi: img[yi, xi]
+        top = g(y0, x0) * (1 - fx) + g(y0, x0 + 1) * fx
+        bot = g(y0 + 1, x0) * (1 - fx) + g(y0 + 1, x0 + 1) * fx
+        out = top * (1 - fy) + bot * fy
+        inb = ((x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1))[..., None]
+        out = jnp.where(inb, out, 0.0)
+        return out[..., 0] if squeeze else out
+
     # -- depth backprojection ---------------------------------------------
     def backproject_depth(
         self,

