@@ -3,8 +3,9 @@
 Capability parity with the reference's calibration module
 (``openpose/src/openpose/calibration/cameraParameterEstimation.cpp``:
 chessboard intrinsics, pairwise multi-camera extrinsics). The math is
-batched jnp (Zhang's method); chessboard *detection* stays at the host
-I/O edge (``detect_chessboard`` wraps cv2, like PNG decode does).
+batched jnp (Zhang's method); chessboard *detection* is in-house
+(``ops/chessboard.py``: device saddle response + host lattice ordering),
+with a cv2 backend kept for cross-validation.
 
 Pipeline: per-view DLT homographies (normalized), the IAC constraint
 system -> closed-form K, per-view extrinsics from H and K, and
@@ -130,8 +131,20 @@ def chessboard_object_points(rows: int, cols: int, square: float) -> np.ndarray:
     return np.stack([xs.ravel() * square, ys.ravel() * square], 1).astype(np.float32)
 
 
-def detect_chessboard(gray: np.ndarray, rows: int, cols: int):
-    """Host-edge corner detection (cv2); returns (N, 2) or None."""
+def detect_chessboard(gray: np.ndarray, rows: int, cols: int, backend: str = "native"):
+    """Corner detection; returns (rows*cols, 2) row-major or None.
+
+    ``backend='native'`` (default) uses the in-house saddle detector +
+    lattice ordering (``ops/chessboard.py`` — the gridPatternFunctions
+    capability); ``backend='cv2'`` delegates to OpenCV at the host edge."""
+    if backend == "native":
+        from perception_tpu.ops.chessboard import detect_chessboard_native
+
+        g = np.asarray(gray, np.float32)
+        if g.max() > 1.5:  # uint8-scaled input
+            g = g / 255.0
+        return detect_chessboard_native(g, rows, cols)
+
     import cv2
 
     found, corners = cv2.findChessboardCorners(
