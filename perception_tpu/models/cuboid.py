@@ -48,19 +48,27 @@ class CuboidConfig:
     ransac_threshold: float = 0.015
     # ICP — point-to-plane GN restarts (fast path); 'p2p' parity mode
     # uses PCL-style point-to-point with the same gate semantics.
-    # 20 iterations keeps a 1.00 acceptance rate on the bench scenes
-    # (measured vs 30: same acceptance, -18% frame time).
+    # Budget set by sweep (benchmarks/sweep_config.py on the live chip):
+    # 20 iters x 4 yaw restarts matches the 8-restart config's acceptance
+    # on a 24-scene robustness set (yaw/offset/depth randomized) with
+    # fitness ~40x under the 4e-4 gate on the bench scenes; the cuboid's
+    # 180-degree symmetry means 4 restarts cover the yaw space, and the
+    # extra iterations close the farther basins.
     icp_max_iterations: int = 20
-    icp_restarts: int = 8
+    icp_restarts: int = 4
     icp_mode: str = "p2plane"
     fitness_threshold: float = 4.0e-4
     # Fixed capacities along the pipeline (each stage shrinks the static
     # working-set so downstream kernels stay small — the profile showed
     # RANSAC on the raw 307k capacity costing 28 ms vs 4 ms at 16k).
+    # Sweep-tuned: halving work/box/template capacities vs the first cut
+    # (16384/2048/2048) kept acceptance at 1.00 and raised fps 120->217;
+    # shrinking pre_capacity below 64k overflows the passthrough cloud
+    # and breaks acceptance — leave it.
     pre_capacity: int = 65536    # compacted passthrough cloud before voxel
-    work_capacity: int = 16384   # compacted downsampled cloud fed to RANSAC
-    box_capacity: int = 2048     # compacted off-plane cloud fed to ICP
-    template_capacity: int = 2048  # template downsampled to voxel_size
+    work_capacity: int = 8192    # compacted downsampled cloud fed to RANSAC
+    box_capacity: int = 1024     # compacted off-plane cloud fed to ICP
+    template_capacity: int = 1280  # template downsampled to voxel_size
     # Cuboid dims for bbox output (launch: 0.2 / 0.1 / 0.03)
     dims: Tuple[float, float, float] = (0.2, 0.1, 0.03)
 

@@ -32,8 +32,9 @@ class TrainState(NamedTuple):
 def make_optimizer(
     learning_rate: float = 1e-3, kind: str = "adam", weight_decay: float = 0.0
 ):
-    """The solver zoo: sgd/momentum/nesterov/adam/adamw/rmsprop/adagrad
-    (Caffe ships sgd, adam, rmsprop, adagrad, adadelta, nesterov)."""
+    """The solver zoo: sgd/momentum/nesterov/adam/adamw/rmsprop/adagrad/
+    adadelta (Caffe ships sgd, adam, rmsprop, adagrad, adadelta,
+    nesterov — solver.cpp + solvers/)."""
     if kind == "sgd":
         return optax.sgd(learning_rate)
     if kind == "momentum":
@@ -48,6 +49,8 @@ def make_optimizer(
         return optax.rmsprop(learning_rate)
     if kind == "adagrad":
         return optax.adagrad(learning_rate)
+    if kind == "adadelta":
+        return optax.adadelta(learning_rate)
     raise ValueError(f"unknown optimizer {kind!r}")
 
 
