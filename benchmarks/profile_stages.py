@@ -13,15 +13,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=30):
+def timeit(fn, *args, reps=50):
+    """Enqueue ``reps`` calls then block once — pipelined dispatch, so
+    the per-call figure is device time, not the ~25 ms tunnel round-trip
+    floor that per-call block_until_ready timing measures."""
     out = fn(*args)
     jax.block_until_ready(out)
-    ts = []
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return 1e3 * float(np.median(ts))
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return 1e3 * (time.perf_counter() - t0) / reps
 
 
 def main():
@@ -43,16 +45,25 @@ def main():
     depth = jnp.asarray(render_depth_tabletop(camera, seed=0))
     key = jax.random.key(0)
 
-    # Stage 1: backproject + passthrough + first compact.
+    # Stage 1: stride + backproject + passthrough + first compact.
+    import dataclasses
     @jax.jit
     def s1(depth):
-        pts, m = camera.backproject_depth(depth)
+        st = config.depth_stride
+        cam = camera
+        if st > 1:
+            o = st // 2
+            depth = depth[o::st, o::st]
+            cam = dataclasses.replace(camera, fx=camera.fx/st, fy=camera.fy/st,
+                                      cx=(camera.cx-o)/st, cy=(camera.cy-o)/st,
+                                      width=depth.shape[1], height=depth.shape[0])
+        pts, m = cam.backproject_depth(depth)
         m = P.passthrough(pts, m, 2, *config.z_limits)
         m = P.passthrough(pts, m, 0, *config.x_limits)
         return P.compact(pts, m, config.pre_capacity)
 
     cpts, cm = s1(depth)
-    print(f"s1 backproject+passthrough+compact65k: {timeit(s1, depth):7.3f} ms")
+    print(f"s1 stride+backproject+compact: {timeit(s1, depth):7.3f} ms")
 
     # Stage 2: voxel downsample + compact.
     @jax.jit
@@ -61,7 +72,7 @@ def main():
         return P.compact(d0, m0, config.work_capacity)
 
     dpts, dm = s2(cpts, cm)
-    print(f"s2 voxel+compact16k:                   {timeit(s2, cpts, cm):7.3f} ms")
+    print(f"s2 voxel+compact:                   {timeit(s2, cpts, cm):7.3f} ms")
 
     # Stage 3: RANSAC plane.
     @jax.jit
@@ -70,17 +81,29 @@ def main():
                             num_hypotheses=config.ransac_hypotheses)
 
     fit = s3(dpts, dm, key)
-    print(f"s3 ransac 1024x16k:                    {timeit(s3, dpts, dm, key):7.3f} ms")
+    print(f"s3 ransac:                    {timeit(s3, dpts, dm, key):7.3f} ms")
 
-    # Stage 4: compact box + multi-restart ICP.
+    # Stage 4a: compact box + dominant-cluster filter.
+    from perception_tpu.ops.cluster import euclidean_cluster
     @jax.jit
-    def s4(dpts, dm, inl):
+    def s4a(dpts, dm, inl):
         box_pts, box_m = P.compact(dpts, dm & ~inl, config.box_capacity)
+        cl = euclidean_cluster(box_pts, box_m, tolerance=config.cluster_tolerance,
+                               min_size=1, max_size=config.box_capacity, max_clusters=8)
+        box_m = box_m & (cl.labels == 0)
+        return P.apply_mask(box_pts, box_m), box_m
+
+    box_pts, box_m = s4a(dpts, dm, fit.inliers)
+    print(f"s4a compact+cluster:                   {timeit(s4a, dpts, dm, fit.inliers):7.3f} ms")
+
+    # Stage 4b: multi-restart ICP.
+    @jax.jit
+    def s4(box_pts, box_m):
         return estimate_cuboid_pose(box_pts, box_m, template, tmask, config,
                                     template_normals=tnormals)
 
-    _ = s4(dpts, dm, fit.inliers)
-    print(f"s4 compact2k+icp(8x{config.icp_max_iterations}):               {timeit(s4, dpts, dm, fit.inliers):7.3f} ms")
+    _ = s4(box_pts, box_m)
+    print(f"s4b icp({config.icp_restarts}x{config.icp_max_iterations}):                        {timeit(s4, box_pts, box_m):7.3f} ms")
 
     # Whole pipeline for reference.
     fn = jax.jit(lambda d, k: cuboid_pipeline_from_depth(

@@ -58,14 +58,34 @@ class CuboidConfig:
     icp_restarts: int = 4
     icp_mode: str = "p2plane"
     fitness_threshold: float = 4.0e-4
+    # Keep only the dominant off-plane blob before ICP — the reference's
+    # EuclideanClusterExtraction-then-ICP structure
+    # (object_pose_detection.cpp:345-413); without it, off-plane clutter
+    # can capture the ICP basin. 'blob' = constant-round densest-voxel
+    # radius filter (fast path, ~0.3 ms); 'cc' = full connected
+    # components (ops/cluster.py, exact semantics, ~2.7 ms); 'off' = none.
+    cluster_filter: str = "blob"
+    cluster_tolerance: float = 0.02
+    # None -> derived: cuboid circumradius + 2 cm margin. Must stay
+    # tight — at 0.18 a clutter blob 25 cm out still leaked into the
+    # ICP cloud on the robustness scenes.
+    blob_radius: Optional[float] = None
+    # Depth-image stride before backprojection. The D435 at 0.8 m has
+    # ~2.1 mm native pixel spacing (z/fx); stride 2 keeps ~4.2 mm, still
+    # denser than the 5 mm voxel grid, so the voxel stage sees the same
+    # occupied cells while every upstream op shrinks 4x. (The reference
+    # throws away the same information in its VoxelGrid.)
+    depth_stride: int = 2
     # Fixed capacities along the pipeline (each stage shrinks the static
     # working-set so downstream kernels stay small — the profile showed
     # RANSAC on the raw 307k capacity costing 28 ms vs 4 ms at 16k).
     # Sweep-tuned: halving work/box/template capacities vs the first cut
     # (16384/2048/2048) kept acceptance at 1.00 and raised fps 120->217;
-    # shrinking pre_capacity below 64k overflows the passthrough cloud
-    # and breaks acceptance — leave it.
-    pre_capacity: int = 65536    # compacted passthrough cloud before voxel
+    # shrinking pre_capacity below the passthrough cloud's size truncates
+    # it non-uniformly (raster order) and breaks acceptance.
+    # 16384 matches depth_stride=2 (the stride divides the valid ROI
+    # cloud ~4x from the full-res 32-64k); raise 4x if stride is 1.
+    pre_capacity: int = 16384    # compacted passthrough cloud before voxel
     work_capacity: int = 8192    # compacted downsampled cloud fed to RANSAC
     box_capacity: int = 1024     # compacted off-plane cloud fed to ICP
     template_capacity: int = 1280  # template downsampled to voxel_size
@@ -264,6 +284,21 @@ def cuboid_pipeline_step(
     """
     fit, dpts, box_mask = segment_ground_plane(points, mask, key, config)
     box_pts, box_m = P.compact(dpts, box_mask, config.box_capacity)
+    if config.cluster_filter == "cc":
+        from perception_tpu.ops.cluster import euclidean_cluster
+
+        cl = euclidean_cluster(
+            box_pts, box_m, tolerance=config.cluster_tolerance,
+            min_size=1, max_size=config.box_capacity, max_clusters=8,
+        )
+        box_m = box_m & (cl.labels == 0)  # largest cluster (slot 0)
+        box_pts = P.apply_mask(box_pts, box_m)
+    elif config.cluster_filter == "blob":
+        radius = config.blob_radius
+        if radius is None:
+            radius = 0.5 * float(np.linalg.norm(config.dims)) + 0.02
+        box_m = P.dominant_blob_filter(box_pts, box_m, radius=radius)
+        box_pts = P.apply_mask(box_pts, box_m)
     pose, fitness, converged = estimate_cuboid_pose(
         box_pts, box_m, template, template_mask, config,
         template_normals=template_normals,
@@ -299,6 +334,18 @@ def cuboid_pipeline_from_depth(
     """Depth image (H, W) -> CuboidResult; the whole thing jits into a
     single XLA computation (the reference's 3 ROS processes collapse
     into one on-chip step)."""
+    s = config.depth_stride
+    if s > 1:
+        # Decimate on the image grid; intrinsics scale with the grid.
+        # Offset by s//2 so sample centers stay centered in each block.
+        o = s // 2
+        depth = depth[o::s, o::s]
+        camera = dataclasses.replace(
+            camera,
+            fx=camera.fx / s, fy=camera.fy / s,
+            cx=(camera.cx - o) / s, cy=(camera.cy - o) / s,
+            width=depth.shape[1], height=depth.shape[0],
+        )
     points, mask = camera.backproject_depth(depth)
     return cuboid_pipeline_step(
         points, mask, template, template_mask, key, config,

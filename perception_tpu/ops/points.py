@@ -129,6 +129,43 @@ def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Arra
     return apply_mask(points[idx], out_mask), out_mask
 
 
+def dominant_blob_filter(
+    points: jax.Array,
+    mask: jax.Array,
+    cell: float = 0.05,
+    radius: float = 0.18,
+    origin=(-5.0, -5.0, -5.0),
+    dims=(256, 256, 256),
+) -> jax.Array:
+    """Keep points within ``radius`` of the densest coarse voxel's
+    centroid — a constant-round stand-in for "largest cluster" when the
+    dominant object is known to be the biggest blob (the cuboid
+    pipeline). Full Euclidean clustering (ops/cluster.py) costs O(
+    component diameter) propagation rounds of latency-bound small ops;
+    this is two segment-sums and an argmax. Callers keep their fitness
+    gate as the correctness backstop. Returns the narrowed mask."""
+    n = points.shape[0]
+    ids = voxel_ids(points, jnp.asarray(origin, points.dtype), cell, dims)
+    ids = jnp.where(mask, ids, -1)
+    # Count points per occupied cell via sort + segment trick on ranks.
+    sorted_ids = jnp.sort(ids)
+    order = jnp.argsort(ids)
+    first = jnp.concatenate([jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+    valid_sorted = sorted_ids >= 0
+    first = first & valid_sorted
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    rank = jnp.where(valid_sorted, rank, n)
+    counts = jax.ops.segment_sum(valid_sorted.astype(jnp.int32), rank, num_segments=n + 1)[:n]
+    pts_sorted = points[order]
+    sums = jax.ops.segment_sum(
+        pts_sorted * valid_sorted[:, None], rank, num_segments=n + 1
+    )[:n]
+    best = jnp.argmax(counts)
+    center = sums[best] / jnp.maximum(counts[best], 1)
+    d2 = jnp.sum((points - center) ** 2, axis=-1)
+    return mask & (d2 <= radius * radius)
+
+
 def bounds(points: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Masked min/max corners of a cloud."""
     big = jnp.asarray(SENTINEL, points.dtype)
