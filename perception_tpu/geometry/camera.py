@@ -57,7 +57,12 @@ class PinholeCamera:
         """From a 3x3 (or flat 9) intrinsic matrix, as published on
         ``/camera/*/camera_info`` (reference README.md:39-80)."""
         K = jnp.asarray(K, dtype=jnp.float32).reshape(3, 3)
-        d = jnp.zeros(5, jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32).reshape(5)
+        if dist is None:
+            d = jnp.zeros(5, jnp.float32)
+        else:
+            d = jnp.asarray(dist, jnp.float32).reshape(-1)
+            if d.shape[0] not in (5, 8):
+                raise ValueError("dist must be plumb_bob (5) or rational_polynomial (8)")
         return cls(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2], dist=d, width=width, height=height)
 
     @classmethod
@@ -108,30 +113,45 @@ class PinholeCamera:
             ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
         return ray
 
-    # -- distortion (plumb_bob) -------------------------------------------
+    # -- distortion (plumb_bob / rational_polynomial) -----------------------
+    # The reference camera model accepts exactly these two
+    # (pinhole_camera_model.cpp:134-135). The model is selected by the
+    # static length of ``dist``: (5,) = plumb_bob [k1 k2 p1 p2 k3],
+    # (8,) = rational_polynomial [k1 k2 p1 p2 k3 k4 k5 k6] with
+    # radial = (1 + k1 r2 + k2 r4 + k3 r6) / (1 + k4 r2 + k5 r4 + k6 r6).
+
+    def _radial(self, r2: jax.Array) -> jax.Array:
+        d = self.dist
+        k1, k2, k3 = d[0], d[1], d[4]
+        num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        if d.shape[0] == 8:
+            k4, k5, k6 = d[5], d[6], d[7]
+            return num / (1.0 + r2 * (k4 + r2 * (k5 + r2 * k6)))
+        return num
+
     def unrectify_point(self, uv: jax.Array) -> jax.Array:
-        """Apply plumb_bob distortion: ideal pixel -> raw pixel
+        """Apply distortion: ideal pixel -> raw pixel
         (pinhole_camera_model.cpp:349 semantics, R = I, P = K case)."""
         x = (uv[..., 0] - self.cx) / self.fx
         y = (uv[..., 1] - self.cy) / self.fy
-        k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
+        p1, p2 = self.dist[2], self.dist[3]
         r2 = x * x + y * y
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        radial = self._radial(r2)
         xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
         return jnp.stack([self.fx * xd + self.cx, self.fy * yd + self.cy], axis=-1)
 
     def rectify_point(self, uv: jax.Array, iters: int = 5) -> jax.Array:
-        """Invert plumb_bob distortion by fixed-point iteration (the same
+        """Invert the distortion by fixed-point iteration (the same
         scheme cv::undistortPoints uses; 5 iterations like OpenCV)."""
         x0 = (uv[..., 0] - self.cx) / self.fx
         y0 = (uv[..., 1] - self.cy) / self.fy
-        k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
+        p1, p2 = self.dist[2], self.dist[3]
 
         def body(_, xy):
             x, y = xy
             r2 = x * x + y * y
-            radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            radial = self._radial(r2)
             dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
             dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
             return ((x0 - dx) / radial, (y0 - dy) / radial)

@@ -177,3 +177,38 @@ class TestRender3D:
                                eye=tuple(eye), target=(0, 0, 1), point_px=3)
         assert (img == np.array([255, 0, 0])).all(-1).any()
         assert not (img == np.array([0, 255, 0])).all(-1).any()
+
+
+class TestRationalDistortion:
+    def test_matches_cv2_rational(self):
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+
+        dist8 = [-0.3, 0.1, 0.001, -0.0005, 0.02, -0.25, 0.07, 0.015]
+        cam = PinholeCamera.from_K([400.0, 0, 320, 0, 400.0, 240, 0, 0, 1], dist=dist8)
+        rng = np.random.default_rng(2)
+        ideal = rng.uniform([100, 100], [540, 380], (50, 2)).astype(np.float32)
+        ours = np.asarray(cam.unrectify_point(jnp.asarray(ideal)))
+
+        # cv2.projectPoints applies the same rational model to the
+        # normalized ideal coordinates.
+        K = np.asarray(cam.K, np.float64)
+        pts3 = np.concatenate(
+            [(ideal - [320, 240]) / 400.0, np.ones((50, 1), np.float32)], axis=1
+        ).astype(np.float64)
+        ref, _ = cv2.projectPoints(pts3, np.zeros(3), np.zeros(3), K,
+                                   np.asarray(dist8, np.float64))
+        assert np.abs(ours - ref.reshape(-1, 2)).max() < 1e-2
+
+    def test_rectify_roundtrip(self):
+        import numpy as np
+
+        dist8 = [-0.3, 0.1, 0.001, -0.0005, 0.02, -0.25, 0.07, 0.015]
+        cam = PinholeCamera.from_K([400.0, 0, 320, 0, 400.0, 240, 0, 0, 1], dist=dist8)
+        uv = jnp.asarray([[200.0, 150.0], [320.0, 240.0], [450.0, 300.0]])
+        back = cam.rectify_point(cam.unrectify_point(uv), iters=10)
+        assert np.abs(np.asarray(back) - np.asarray(uv)).max() < 0.05
+
+    def test_bad_length_rejected(self):
+        with pytest.raises(ValueError):
+            PinholeCamera.from_K([400.0, 0, 320, 0, 400.0, 240, 0, 0, 1], dist=[0.1] * 6)
