@@ -139,3 +139,47 @@ def convert_color(arr: np.ndarray, src: str, dst: str) -> np.ndarray:
         a = np.full(arr.shape[:2] + (1,), 255, np.uint8)
         return np.concatenate([arr, a], axis=-1)
     raise ValueError(f"no conversion {src} -> {dst}")
+
+
+def cvt_color_for_display(
+    arr: np.ndarray,
+    src_encoding: str,
+    dst_encoding: str = "bgr8",
+    *,
+    do_dynamic_scaling: bool = False,
+    min_image_value: float = 0.0,
+    max_image_value: float = 0.0,
+) -> np.ndarray:
+    """Convert any registry image to a displayable 8-bit color image.
+
+    Capability parity with ``cv_bridge::cvtColorForDisplay``
+    (vision_opencv/cv_bridge/src/cv_bridge.cpp; API doc in
+    cv_bridge.h:263-299): depth/float images are range-scaled to 8 bit
+    (either a fixed [min, max] window or dynamic min/max scaling),
+    32-bit integer images are treated as label maps and colorized with
+    the named-color table, and everything else goes through
+    ``convert_color``.
+    """
+    from perception_tpu.io.colors import label_image_to_rgb8
+
+    arr = np.asarray(arr)
+    if src_encoding == "32SC1":  # label image -> distinct colors
+        rgb = label_image_to_rgb8(arr)
+        return convert_color(rgb, "rgb8", dst_encoding)
+    if arr.dtype in (np.float32, np.float64, np.uint16, np.int16) and arr.ndim == 2:
+        finite = np.isfinite(arr)
+        if min_image_value != max_image_value:
+            lo, hi = float(min_image_value), float(max_image_value)
+        elif do_dynamic_scaling:
+            vals = arr[finite]
+            lo = float(vals.min()) if vals.size else 0.0
+            hi = float(vals.max()) if vals.size else 1.0
+        else:
+            # The reference errors here for float input; default depth
+            # window of [0, 10] m keeps the call usable headless.
+            lo, hi = 0.0, 10.0 if arr.dtype in (np.float32, np.float64) else 65535.0
+        scale = 255.0 / (hi - lo) if hi > lo else 1.0
+        mono = np.clip((arr.astype(np.float64) - lo) * scale, 0, 255)
+        mono = np.where(finite, np.round(mono), 0).astype(np.uint8)
+        return convert_color(mono, "mono8", dst_encoding)
+    return convert_color(arr, src_encoding, dst_encoding)

@@ -96,3 +96,51 @@ def test_color_conversions():
 def test_unsupported_encoding():
     with pytest.raises(ValueError):
         array_to_image(np.zeros((2, 2)), "yuv422")
+
+
+def test_rgb_color_table():
+    """146 named colors, modulo wrap (rgb_colors.cpp getRGBColor)."""
+    from perception_tpu.io import colors
+
+    assert colors.N_COLORS == 146
+    c0 = colors.get_rgb_color(0)
+    assert c0.shape == (3,) and (0.0 <= c0).all() and (c0 <= 1.0).all()
+    # aliceblue is first alphabetically, as in the reference enum.
+    assert colors.color_name(0) == "aliceblue"
+    np.testing.assert_allclose(colors.get_rgb_color(146), c0)
+    # The CSS3 list has 7 gray/grey alias pairs (as in the reference
+    # enum, rgb_colors.h), so 139 distinct RGB values among 146 names.
+    tab = np.stack([colors.get_rgb_color(i) for i in range(colors.N_COLORS)])
+    assert len(np.unique(np.round(tab * 255).astype(int), axis=0)) == 139
+
+
+def test_label_image_to_rgb8():
+    from perception_tpu.io.colors import label_image_to_rgb8
+
+    labels = np.array([[-1, 0], [1, 200]], np.int32)
+    img = label_image_to_rgb8(labels)
+    assert img.shape == (2, 2, 3) and img.dtype == np.uint8
+    assert (img[0, 0] == 0).all()                 # background -> black
+    assert not (img[0, 1] == img[1, 0]).all()     # distinct labels differ
+    # wraps modulo table size
+    assert (img[1, 1] == label_image_to_rgb8(np.array([[200 % 146]]))[0, 0]).all()
+
+
+def test_cvt_color_for_display_depth_and_labels():
+    from perception_tpu.io.imgcodec import cvt_color_for_display
+
+    depth = np.linspace(0.2, 2.0, 12, dtype=np.float32).reshape(3, 4)
+    depth[0, 0] = np.nan
+    out = cvt_color_for_display(depth, "32FC1", "bgr8", do_dynamic_scaling=True)
+    assert out.shape == (3, 4, 3) and out.dtype == np.uint8
+    assert (out[0, 0] == 0).all()          # NaN -> black
+    assert out[2, 3, 0] == 255             # max scales to 255
+    # Fixed window
+    out2 = cvt_color_for_display(depth, "32FC1", "mono8",
+                                 min_image_value=0.0, max_image_value=4.0)
+    assert out2[2, 3] == int(round(2.0 / 4.0 * 255))
+    # Label branch + passthrough branch
+    lab = cvt_color_for_display(np.array([[0, 1]], np.int32), "32SC1", "rgb8")
+    assert lab.shape == (1, 2, 3)
+    rgb = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert (cvt_color_for_display(rgb, "rgb8", "bgr8") == rgb[..., ::-1]).all()
