@@ -1,0 +1,80 @@
+"""Example 04 — face landmarks -> head pose + gaze.
+
+The openface2_ros flow (openface2_ros.cpp:198-490): 68+2 landmarks ->
+6-DoF head pose (GN PnP on a rigid 6-point face model, the GetPose
+equivalent) -> per-eye gaze vectors -> action-unit readout schema.
+Here the landmarks are synthesized from a known head pose so the
+recovered pose can be checked; in the full pipeline they come from
+`FaceLandmarkNet` heatmaps via the shared subpixel NMS decoder.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from examples._common import setup_backend, print_pose  # noqa: E402
+
+setup_backend()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from perception_tpu.geometry import se3  # noqa: E402
+from perception_tpu.models.face import (  # noqa: E402
+    PNP_LANDMARK_IDS,
+    PNP_MODEL_POINTS,
+    gaze_from_landmarks,
+    head_pose_pnp,
+    non_overlapping_detections,
+)
+
+
+def main() -> None:
+    fx = fy = 615.0
+    cx, cy = 320.0, 240.0
+
+    # Ground-truth head pose: 0.7 m out, slight yaw + tilt.
+    T_gt = np.asarray(se3.se3_exp(jnp.asarray([0.05, -0.02, 0.7, 0.05, 0.3, 0.0])))
+
+    # Synthesize the 70-landmark array: project the 6 rigid model points
+    # into the image at their landmark slots; park the rest near the
+    # face center so the gaze ring lookups stay in range.
+    pts_cam = PNP_MODEL_POINTS @ T_gt[:3, :3].T + T_gt[:3, 3]
+    uv6 = np.stack([fx * pts_cam[:, 0] / pts_cam[:, 2] + cx,
+                    fy * pts_cam[:, 1] / pts_cam[:, 2] + cy], -1)
+    landmarks = np.full((70, 2), [cx, cy], np.float32)
+    landmarks[PNP_LANDMARK_IDS] = uv6
+    # Eye rings + pupils (looking slightly right).
+    landmarks[36:42] = uv6[2] + np.array([[-8, 0], [-4, -3], [4, -3], [8, 0], [4, 3], [-4, 3]])
+    landmarks[42:48] = uv6[3] + np.array([[-8, 0], [-4, -3], [4, -3], [8, 0], [4, 3], [-4, 3]])
+    landmarks[68] = uv6[2] + np.array([2.0, 0.0])
+    landmarks[69] = uv6[3] + np.array([2.0, 0.0])
+    # Landmarks 36/45 are both eye-ring corners AND PnP points — keep
+    # their exact projections so the pose solve stays consistent.
+    landmarks[PNP_LANDMARK_IDS] = uv6
+    lm_mask = np.ones(70, bool)
+
+    T_est, reproj_err = jax.jit(
+        lambda lm, m: head_pose_pnp(lm, m, fx, fy, cx, cy, iterations=40)
+    )(jnp.asarray(landmarks), jnp.asarray(lm_mask))
+    print_pose("camera<-head (estimated)", T_est)
+    t_err = float(jnp.linalg.norm(T_est[:3, 3] - jnp.asarray(T_gt[:3, 3])))
+    print(f"reprojection error = {float(reproj_err):.3f} px, "
+          f"translation error vs GT = {t_err * 1000:.1f} mm")
+    assert t_err < 0.02 and float(reproj_err) < 1.0
+
+    gaze_r, gaze_l = gaze_from_landmarks(jnp.asarray(landmarks), T_est, fx, fy, cx, cy)
+    print(f"gaze right = {np.asarray(gaze_r).round(3)}  left = {np.asarray(gaze_l).round(3)}")
+
+    # Multi-face dedup (NonOverlapingDetections, IoU > 0.5 with a live
+    # tracker suppressed): one tracker already covers the first box.
+    tracks = jnp.asarray([[100.0, 100, 200, 200]])
+    dets = jnp.asarray([[110.0, 105, 205, 210], [400.0, 80, 470, 160]])
+    keep = non_overlapping_detections(tracks, jnp.ones(1, bool), dets, jnp.ones(2, bool))
+    print(f"non_overlapping_detections keeps {int(keep.sum())} of 2 detections")
+    assert int(keep.sum()) == 1
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,7 @@ def voxel_downsample(
     points: jax.Array,
     mask: jax.Array,
     voxel_size: float,
-    origin=(-5.0, -5.0, -5.0),
+    origin=None,
     dims=(1024, 1024, 1024),
 ) -> Tuple[jax.Array, jax.Array]:
     """VoxelGrid downsample: one centroid per occupied voxel.
@@ -87,8 +87,18 @@ def voxel_downsample(
     occupied voxel (in voxel-id order) and the mask marks which slots
     are live. Implementation is sort-free: segment-sum keyed by a
     compacted voxel rank computed from a sorted id array.
+
+    ``origin=None`` anchors the grid just below the masked minimum,
+    snapped to a leaf multiple so cell boundaries stay at absolute
+    ``voxel_size * k`` regardless of the cloud (out-of-grid coordinates
+    clamp, so a fixed origin only suits clouds within ``dims * leaf``
+    of it — at small leaves that span is tiny).
     """
     n = points.shape[0]
+    if origin is None:
+        lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        origin = (jnp.floor(lo / voxel_size) - 1.0) * voxel_size
     origin = jnp.asarray(origin, points.dtype)
     ids = voxel_ids(points, origin, voxel_size, dims)
     # Invalid points get an id past every real voxel so they sort last.
