@@ -128,14 +128,30 @@ def voxel_downsample(
 
 
 def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
-    """Gather valid points to the front, truncating/padding to ``capacity``.
+    """Gather valid points to the front, reducing/padding to ``capacity``.
 
     Used to shrink working sets between stages (e.g. after downsample)
-    so downstream kernels run on a smaller static shape.
+    so downstream kernels run on a smaller static shape. When more than
+    ``capacity`` points are valid, an **evenly spaced** subset of the
+    valid points is kept (every cnt/capacity-th by valid rank) rather
+    than the first ``capacity``: inputs arrive in raster or voxel-sorted
+    order, and a prefix cut would delete one whole side of the scene
+    (measured: it shaved the +x half of the cuboid cloud and biased ICP
+    by 7 cm), while decimation preserves the spatial distribution.
     """
-    order = jnp.argsort(~mask, stable=True)  # valid first, stable
+    cnt = jnp.sum(mask, dtype=jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # valid rank per slot
+    # Keep valid point r iff the integer grid floor(r * ratio) advances,
+    # ratio = capacity/cnt (<= 1 when over capacity -> even subset;
+    # >= 1 when under -> keeps every valid point). float32 rounding at
+    # the boundaries only perturbs which neighbor is kept; the prefix
+    # truncation below caps the count at `capacity` regardless.
+    ratio = jnp.minimum(capacity, cnt).astype(points.dtype) / jnp.maximum(cnt, 1).astype(points.dtype)
+    r = rank.astype(points.dtype)
+    keep = mask & (jnp.floor((r + 1.0) * ratio) > jnp.floor(r * ratio))
+    order = jnp.argsort(~keep, stable=True)  # kept first, stable
     idx = order[:capacity]
-    out_mask = mask[idx]
+    out_mask = keep[idx]
     return apply_mask(points[idx], out_mask), out_mask
 
 
