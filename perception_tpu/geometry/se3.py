@@ -131,6 +131,29 @@ def make_T(R: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def orthonormalize_T(T: jax.Array) -> jax.Array:
+    """Project the rotation block of (..., 4, 4) back onto SO(3)
+    (Gram-Schmidt). See also ``orthonormalize`` for bare (..., 3, 3)
+    rotations (SVD projection).
+
+    Long products of f32 transforms drift off the manifold; worse,
+    ``inverse`` (a transpose) *doubles* any symmetric deviation S per
+    round trip — inverse(Q(I+S)) @ Q(I+S) = I + 2S + O(S^2) — so a
+    pose-tracking loop that composes inverse(kf_pose) @ pose every
+    frame amplifies float seed error exponentially (measured: 1e-6
+    doubling per frame blew up SLAM odometry by frame ~17). Every
+    long-lived pose must round-trip through this projection.
+    """
+    R = T[..., :3, :3]
+    c0 = R[..., :, 0]
+    c0 = c0 / jnp.maximum(jnp.linalg.norm(c0, axis=-1, keepdims=True), _EPS)
+    c1 = R[..., :, 1]
+    c1 = c1 - jnp.sum(c0 * c1, axis=-1, keepdims=True) * c0
+    c1 = c1 / jnp.maximum(jnp.linalg.norm(c1, axis=-1, keepdims=True), _EPS)
+    c2 = jnp.cross(c0, c1)
+    return make_T(jnp.stack([c0, c1, c2], axis=-1), T[..., :3, 3])
+
+
 def inverse(T: jax.Array) -> jax.Array:
     """Closed-form SE(3) inverse (mirrors Eigen ``.inverse()`` use at
     ``cuboid_detection/src/iterative_closest_point.cpp:179``)."""

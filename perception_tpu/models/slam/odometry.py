@@ -73,17 +73,20 @@ class OdometryDiag(NamedTuple):
     num_corr: jax.Array      # () int32
 
 
-def _subsample_organized(points, valid, budget: int):
-    """Grid-stride subsample of an organized (H*W, 3) cloud to ``budget``
-    points — deterministic, spatially uniform, O(1) (no sort)."""
-    n = points.shape[0]
+def _subsample_indices(n: int, budget: int, phase):
+    """Grid-stride subsample indices with a per-frame phase jitter.
+
+    Deterministic, spatially uniform, O(1) (no sort). The jitter shifts
+    which raster columns are sampled each frame (phase mod stride), so
+    structured scenes don't alias onto the same columns every frame
+    while the stride spacing (spatial uniformity) is preserved.
+    """
     stride = max(n // budget, 1)
-    idx = jnp.arange(budget) * stride
-    idx = jnp.clip(idx, 0, n - 1)
-    return points[idx], valid[idx]
+    offset = jnp.asarray(phase, jnp.int32) % stride
+    return jnp.clip(jnp.arange(budget) * stride + offset, 0, n - 1)
 
 
-def _frame_features(camera: PinholeCamera, depth, cfg: OdometryConfig):
+def _frame_features(camera: PinholeCamera, depth, cfg: OdometryConfig, phase=0):
     """Backproject + normals + subsample one depth image."""
     pts_flat, valid_flat = camera.backproject_depth(
         depth, min_depth=cfg.min_depth, max_depth=cfg.max_depth
@@ -94,15 +97,15 @@ def _frame_features(camera: PinholeCamera, depth, cfg: OdometryConfig):
     )
     normals = normals.reshape(-1, 3)
     nvalid = nvalid.reshape(-1)
+    good = valid_flat & nvalid
 
-    src_pts, src_mask = _subsample_organized(pts_flat, valid_flat & nvalid, cfg.point_budget)
+    src_idx = _subsample_indices(h * w, cfg.point_budget, phase)
+    src_pts, src_mask = pts_flat[src_idx], good[src_idx]
 
-    kf_idx = jnp.clip(
-        jnp.arange(cfg.keyframe_budget) * max((h * w) // cfg.keyframe_budget, 1), 0, h * w - 1
-    )
+    kf_idx = _subsample_indices(h * w, cfg.keyframe_budget, phase)
     kf_pts = pts_flat[kf_idx]
     kf_norm = normals[kf_idx]
-    kf_mask = (valid_flat & nvalid)[kf_idx]
+    kf_mask = good[kf_idx]
     return src_pts, src_mask, kf_pts, kf_norm, kf_mask
 
 
@@ -134,7 +137,7 @@ def odometry_step(
     static width/height aux data, so one compilation serves the stream.
     """
     src_pts, src_mask, new_kf_pts, new_kf_norm, new_kf_mask = _frame_features(
-        camera, depth, cfg
+        camera, depth, cfg, phase=state.frame_index * 97
     )
     src_pts = apply_mask(src_pts, src_mask)
 
@@ -170,7 +173,9 @@ def odometry_step(
     overlap = num_corr.astype(jnp.float32) / denom.astype(jnp.float32)
     fitness = jnp.sum(d2 * gate) / jnp.maximum(num_corr.astype(d2.dtype), 1.0)
 
-    new_pose = state.kf_pose @ T
+    # Re-project onto SE(3): the inverse(kf_pose) @ pose warm start
+    # doubles any off-manifold drift per frame (see se3.orthonormalize_T).
+    new_pose = se3.orthonormalize_T(state.kf_pose @ T)
 
     # Keyframe promotion decision.
     delta = se3.se3_log(T)

@@ -142,13 +142,17 @@ def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Arra
     cnt = jnp.sum(mask, dtype=jnp.int32)
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1  # valid rank per slot
     # Keep valid point r iff the integer grid floor(r * ratio) advances,
-    # ratio = capacity/cnt (<= 1 when over capacity -> even subset;
-    # >= 1 when under -> keeps every valid point). float32 rounding at
-    # the boundaries only perturbs which neighbor is kept; the prefix
-    # truncation below caps the count at `capacity` regardless.
+    # ratio = capacity/cnt (< 1 when over capacity -> even subset).
+    # When cnt <= capacity every valid point is kept unconditionally
+    # (the grid test is skipped — float reciprocal-multiply rounding
+    # could otherwise drop a point even at ratio == 1). Over capacity,
+    # float32 rounding at grid boundaries can perturb which neighbor is
+    # kept and may undershoot by one (kept count is capacity or
+    # capacity-1); the prefix truncation below caps it at `capacity`.
     ratio = jnp.minimum(capacity, cnt).astype(points.dtype) / jnp.maximum(cnt, 1).astype(points.dtype)
     r = rank.astype(points.dtype)
-    keep = mask & (jnp.floor((r + 1.0) * ratio) > jnp.floor(r * ratio))
+    advance = jnp.floor((r + 1.0) * ratio) > jnp.floor(r * ratio)
+    keep = mask & ((cnt <= capacity) | advance)
     order = jnp.argsort(~keep, stable=True)  # kept first, stable
     idx = order[:capacity]
     out_mask = keep[idx]

@@ -129,6 +129,38 @@ def test_pose_graph_closes_loop():
     assert gap_after < gap_before * 0.5
 
 
+def test_pose_graph_scales_to_256_nodes():
+    # VERDICT r1 item 8: per-edge Jacobian blocks + scatter assembly
+    # must handle N=256 (the old dense jacfwd materialized (6E, 6N)).
+    graph, gt = make_loop_graph(N=256, drift=0.01, seed=3)
+    opt, c0, c1 = optimize_pose_graph(graph, iterations=8)
+    assert float(c1) < float(c0) * 0.2
+    est = np.asarray(opt)
+    gap = np.linalg.norm((np.linalg.inv(est[-1]) @ est[0])[:3, 3] -
+                         (np.linalg.inv(gt[-1]) @ gt[0])[:3, 3])
+    before = np.asarray(graph.poses_wc)
+    gap_before = np.linalg.norm((np.linalg.inv(before[-1]) @ before[0])[:3, 3] -
+                                 (np.linalg.inv(gt[-1]) @ gt[0])[:3, 3])
+    assert gap < gap_before * 0.5
+
+
+def test_pose_graph_masked_edges_ignored():
+    # A corrupted-but-masked edge must not move the solution.
+    graph, gt = make_loop_graph(seed=4)
+    E = graph.edge_i.shape[0]
+    bad = PoseGraph(
+        poses_wc=graph.poses_wc,
+        edge_i=jnp.concatenate([graph.edge_i, jnp.asarray([0], jnp.int32)]),
+        edge_j=jnp.concatenate([graph.edge_j, jnp.asarray([5], jnp.int32)]),
+        edge_T=jnp.concatenate([graph.edge_T, jnp.eye(4)[None] * 1.0]),
+        edge_weight=jnp.concatenate([graph.edge_weight, jnp.asarray([100.0])]),
+        edge_mask=jnp.concatenate([graph.edge_mask, jnp.asarray([False])]),
+    )
+    opt_a, _, _ = optimize_pose_graph(graph, iterations=8)
+    opt_b, _, _ = optimize_pose_graph(bad, iterations=8)
+    np.testing.assert_allclose(np.asarray(opt_a), np.asarray(opt_b), atol=1e-5)
+
+
 def test_pose_graph_perfect_edges_noop():
     graph, gt = make_loop_graph(drift=0.0)
     opt, c0, c1 = optimize_pose_graph(graph, iterations=5)

@@ -76,6 +76,50 @@ def test_compact_moves_valid_first():
     np.testing.assert_allclose(np.asarray(out[:4]), np.asarray(pts)[[1, 3, 4, 8]])
 
 
+def test_compact_exact_at_capacity():
+    # cnt == capacity must keep every valid point (the float grid test
+    # is bypassed below capacity — ADVICE.md round 1).
+    n, cap = 200, 50
+    pts = jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
+    mask = (jnp.arange(n) % 4) == 0  # exactly 50 valid
+    out, out_mask = P.compact(pts, mask, cap)
+    assert int(out_mask.sum()) == cap
+    np.testing.assert_allclose(
+        np.asarray(out[:cap]), np.asarray(pts)[np.asarray(mask)]
+    )
+
+
+def test_compact_over_capacity_decimates_evenly():
+    # cnt > capacity: kept count is capacity (or capacity-1 from float
+    # grid rounding), the subset spans the full extent, and relative
+    # order is preserved.
+    n, cap = 500, 10
+    pts = jnp.stack(
+        [jnp.arange(n, dtype=jnp.float32), jnp.zeros(n), jnp.zeros(n)], axis=-1
+    )
+    mask = jnp.ones(n, bool).at[::7].set(False)  # cnt = 429
+    out, out_mask = P.compact(pts, mask, cap)
+    kept = int(out_mask.sum())
+    assert kept in (cap - 1, cap)
+    xs = np.asarray(out[:kept, 0])
+    # Spans the extent (not a prefix): first kept near 0, last near n.
+    assert xs[0] < n * 0.2 and xs[-1] > n * 0.8
+    # Order preserved and roughly evenly spaced.
+    assert np.all(np.diff(xs) > 0)
+    gaps = np.diff(xs)
+    assert gaps.max() < 3.0 * gaps.min() + 1
+
+
+def test_compact_observed_advice_case():
+    # The exact shape from ADVICE.md: capacity=10, cnt=50.
+    n, cap = 50, 10
+    pts = jnp.stack(
+        [jnp.arange(n, dtype=jnp.float32), jnp.zeros(n), jnp.zeros(n)], axis=-1
+    )
+    out, out_mask = P.compact(pts, jnp.ones(n, bool), cap)
+    assert int(out_mask.sum()) in (cap - 1, cap)
+
+
 def test_bounds():
     pts = jnp.array([[0.0, 0, 0], [1, 2, 3], [-1, 5, -2], [999, 999, 999]])
     mask = jnp.array([True, True, True, False])
