@@ -81,11 +81,35 @@ def main() -> None:
     cpu_fps = measure_cpu_fps(frames, camera, template_np, max_frames=3)
     print(f"cpu baseline: {cpu_fps:.3f} frames/s", file=sys.stderr)
 
+    # SLAM accuracy + throughput (BASELINE.md "ATE within bound"):
+    # full system over a 300-frame revisit sweep; see benchmarks/slam_bench.
+    extra = {
+        "cpu_baseline_note": (
+            "measured numpy/scipy cKDTree harness (PCL-equivalent), "
+            "not PCL itself — see benchmarks/cpu_baseline.py"
+        ),
+    }
+    try:
+        from benchmarks.slam_bench import run as run_slam_bench
+
+        slam = run_slam_bench(frames=300)
+        for k in ("ate_cm", "slam_fps", "loop_closures",
+                  "pose_graph_corrections", "keyframes"):
+            extra[k] = round(slam[k], 3) if isinstance(slam[k], float) else slam[k]
+        extra["slam_frames"] = slam["frames"]
+        extra["slam_resolution"] = slam["resolution"]
+        print(f"slam: ate={slam['ate_cm']:.2f} cm, {slam['slam_fps']:.1f} fps, "
+              f"{slam['loop_closures']} loop closures", file=sys.stderr)
+    except Exception as e:  # never lose the headline metric
+        extra["slam_error"] = repr(e)
+        print(f"slam bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "cuboid_icp_frames_per_sec_per_chip_640x480",
         "value": round(tpu_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(tpu_fps / cpu_fps, 3),
+        "extra": extra,
     }))
 
 

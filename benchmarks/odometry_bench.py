@@ -56,21 +56,31 @@ def main() -> None:
         tw = jnp.asarray([0.01 * i, 0.0, 0.005 * i, 0.0, 0.004 * i, 0.0], jnp.float32)
         frames.append(jnp.asarray(render(np.asarray(se3.se3_exp(tw)), i)))
 
-    state = init_state(cam, frames[0], cfg)
-    state, diag = odometry_step(state, frames[1], cam, cfg)
-    jax.block_until_ready(state)
-    print(f"warmup overlap={float(diag.overlap):.2f}", file=sys.stderr)
-
     for f in frames:
         jax.block_until_ready(f)
-    n_timed = 40
-    t0 = time.perf_counter()
-    for i in range(n_timed):
-        state, diag = odometry_step(state, frames[i % 10], cam, cfg)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    print(f"odometry: {n_timed / dt:.1f} frames/s ({dt / n_timed * 1000:.2f} ms/frame) "
-          f"at 640x480, budget={cfg.point_budget} pts vs kf {cfg.keyframe_budget}")
+
+    import dataclasses
+
+    results = {}
+    for mode in ("off", "auto"):
+        cfg_m = dataclasses.replace(cfg, fused_gn=mode)
+        state = init_state(cam, frames[0], cfg_m)
+        state, diag = odometry_step(state, frames[1], cam, cfg_m)
+        jax.block_until_ready(state)
+        print(f"warmup[{mode}] overlap={float(diag.overlap):.2f}", file=sys.stderr)
+
+        n_timed = 40
+        t0 = time.perf_counter()
+        for i in range(n_timed):
+            state, diag = odometry_step(state, frames[i % 10], cam, cfg_m)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        results[mode] = n_timed / dt
+        label = "jnp op-graph" if mode == "off" else "pallas fused GN"
+        print(f"odometry[{label}]: {n_timed / dt:.1f} frames/s "
+              f"({dt / n_timed * 1000:.2f} ms/frame) at 640x480, "
+              f"budget={cfg.point_budget} pts vs kf {cfg.keyframe_budget}")
+    print(f"fused speedup: {results['auto'] / results['off']:.2f}x")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,126 @@
+"""Driver-visible SLAM benchmark: ATE + throughput over a long revisit
+trajectory (VERDICT r1 item 1; BASELINE.md "ATE within bound").
+
+Runs the full keyframe SLAM system (dense ICP odometry + loop closure +
+pose-graph correction) over a >=300-frame synthetic textured-room sweep
+with multiple revisits, and reports:
+
+  ate_cm         RMSE absolute trajectory error vs ground truth (cm)
+  slam_fps       full-system frames/s (steady state, excludes render)
+  loop_closures  verified loop-closure edges live at the end
+
+Run: python -m benchmarks.slam_bench
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def run(frames: int = 300, width: int = 320, height: int = 240) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks.slam_scene import render_sequence, sweep_trajectory
+    from perception_tpu.geometry.camera import PinholeCamera
+    from perception_tpu.models.slam.odometry import OdometryConfig
+    from perception_tpu.models.slam.system import (
+        SlamConfig,
+        correct_with_pose_graph,
+        slam_init,
+        slam_step,
+    )
+    from perception_tpu.utils.metrics import ate
+
+    fx = 307.0 * width / 320.0
+    camera = PinholeCamera.from_K(
+        [fx, 0, width / 2, 0, fx, height / 2, 0, 0, 1], width=width, height=height
+    )
+    gt = sweep_trajectory(n=frames)
+    grays, depths = render_sequence(camera, gt)
+
+    cfg = SlamConfig(
+        odometry=OdometryConfig(
+            point_budget=2048,
+            keyframe_budget=4096,
+            icp_iterations=8,
+            min_depth=0.1,
+            max_depth=6.0,
+            normal_max_edge=0.1,
+            kf_translation=0.10,
+            kf_rotation=0.12,
+        ),
+        max_keyframes=64,
+        max_edges=192,
+        features_per_kf=256,
+        fast_threshold=15.0,
+        lc_min_gap=3,
+        lc_min_matches=20,
+        lc_min_inliers=10,
+    )
+
+    d0 = jnp.asarray(depths[0])
+    g0 = jnp.asarray(grays[0])
+    state = slam_init(camera, d0, g0, cfg)
+    key = jax.random.key(0)
+
+    # Warm the compile with one step so timing is steady-state.
+    key, sub = jax.random.split(key)
+    warm, _ = slam_step(state, jnp.asarray(depths[1]), jnp.asarray(grays[1]),
+                        camera, sub, cfg)
+    jax.block_until_ready(warm)
+
+    # Stage frames on device up-front (the prefetcher does this in
+    # production; here it keeps host decode out of the timed loop).
+    dj = [jnp.asarray(d) for d in depths]
+    gj = [jnp.asarray(g) for g in grays]
+    jax.block_until_ready(dj[-1])
+
+    poses = [np.eye(4)]
+    n_corrections = 0
+    prev_flag = state.loop_found
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    for d, g in zip(dj[1:], gj[1:]):
+        key, sub = jax.random.split(key)
+        state, diag = slam_step(state, d, g, camera, sub, cfg)
+        if bool(prev_flag):
+            state = correct_with_pose_graph(state)
+            n_corrections += 1
+        prev_flag = state.loop_found
+        poses.append(state.odom.pose)
+    if bool(prev_flag):
+        state = correct_with_pose_graph(state)
+        n_corrections += 1
+        poses[-1] = state.odom.pose
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    est = np.stack([np.asarray(p) for p in poses])
+    gtp = np.stack([np.asarray(T) for T in gt])
+    res = ate(est, gtp, align=False)
+
+    w = np.asarray(state.edges.weight)
+    m = np.asarray(state.edges.mask)
+    loop_edges = int(((w == 2.0) & m).sum())
+
+    return {
+        "ate_cm": float(res.rmse * 100.0),
+        "slam_fps": (frames - 1) / dt,
+        "loop_closures": loop_edges,
+        "pose_graph_corrections": n_corrections,
+        "frames": frames,
+        "keyframes": int(state.keyframes.count),
+        "resolution": f"{width}x{height}",
+    }
+
+
+def main() -> None:
+    out = run()
+    for k, v in out.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,11 @@
-"""Example 04 — face landmarks -> head pose + gaze.
+"""Example 04 — face detection -> landmarks -> head pose + gaze.
 
-The openface2_ros flow (openface2_ros.cpp:198-490): 68+2 landmarks ->
-6-DoF head pose (GN PnP on a rigid 6-point face model, the GetPose
-equivalent) -> per-eye gaze vectors -> action-unit readout schema.
-Here the landmarks are synthesized from a known head pose so the
+The openface2_ros flow (openface2_ros.cpp:145-490): detect faces in
+the image (MTCNN with Haar/HOG fallback there; the multi-scale
+Haar-contrast detector here — no body pose needed), then 68+2
+landmarks -> 6-DoF head pose (GN PnP on a rigid 6-point face model,
+the GetPose equivalent) -> per-eye gaze vectors -> action-unit readout
+schema. The landmarks are synthesized from a known head pose so the
 recovered pose can be checked; in the full pipeline they come from
 `FaceLandmarkNet` heatmaps via the shared subpixel NMS decoder.
 """
@@ -33,6 +35,18 @@ from perception_tpu.models.face import (  # noqa: E402
 def main() -> None:
     fx = fy = 615.0
     cx, cy = 320.0, 240.0
+
+    # --- image-based face detection (no pose input) --------------------
+    from perception_tpu.models.face_detect import detect_faces
+    from tests.test_face_detect import render_face
+
+    img, gt_box = render_face(H=240, W=320, cx=160, cy=120, size=48)
+    dets = detect_faces(jnp.asarray(img))
+    got = np.asarray(dets.boxes)[np.asarray(dets.mask)]
+    assert len(got) >= 1, "face detector found nothing"
+    b = got[0]
+    print(f"detected face box: ({b[0]:.0f},{b[1]:.0f})-({b[2]:.0f},{b[3]:.0f}) "
+          f"(gt {gt_box.round(0)})")
 
     # Ground-truth head pose: 0.7 m out, slight yaw + tilt.
     T_gt = np.asarray(se3.se3_exp(jnp.asarray([0.05, -0.02, 0.7, 0.05, 0.3, 0.0])))

@@ -34,6 +34,8 @@ from perception_tpu.geometry.camera import PinholeCamera
 from perception_tpu.ops import nn as _nn
 from perception_tpu.ops.icp import _huber_weight
 from perception_tpu.ops.normals import normals_from_depth
+from perception_tpu.ops.pallas import interpret_mode
+from perception_tpu.ops.pallas.icp_gn import gn_system_pallas
 from perception_tpu.ops.points import apply_mask
 
 
@@ -50,6 +52,24 @@ class OdometryConfig:
     normal_max_edge: float = 0.05     # tangent-length discontinuity gate;
                                       # scale up for low-res/wide-FOV cameras
                                       # (tangents ~ depth/fx)
+    fused_gn: str = "auto"            # "auto": Pallas fused GN kernel on TPU,
+                                      # jnp op-graph elsewhere; "on": always
+                                      # (interpreted off-TPU — tests only);
+                                      # "off": always the jnp path. At the
+                                      # default dense shapes (4096 x 8192)
+                                      # the fused kernel is ~40x the op-graph
+                                      # path on TPU (ops/pallas/icp_gn.py).
+    # --- dense local-map fusion mode (map_budget > 0) -----------------
+    # ICP targets a voxel-fused map of recent keyframes instead of one
+    # keyframe cloud; at these sizes (>= 32k points) nearest-neighbor
+    # goes through the voxel-hash grid (ops/voxelhash.py — the
+    # north-star "batched voxel-hash NN-gather replacing PCL's KD-tree"),
+    # whose sorted-by-cell windows stay sublinear where the MXU brute
+    # force would burn Nq x M distance tiles.
+    map_budget: int = 0               # 0 = keyframe-target mode
+    map_voxel: float = 0.02           # fusion dedup leaf (m)
+    map_nn_radius: float = 0.06       # correspondence radius in map mode
+    map_nn_window: int = 16           # candidates gathered per hash cell
     # Keyframe promotion thresholds
     kf_translation: float = 0.15      # meters
     kf_rotation: float = 0.2          # radians
@@ -64,6 +84,11 @@ class OdometryState(NamedTuple):
     kf_mask: jax.Array     # (Mk,)
     frame_index: jax.Array # () int32
     num_keyframes: jax.Array  # () int32
+    # Local fused map (map mode; zero-capacity arrays otherwise),
+    # expressed in the current keyframe's camera frame.
+    map_points: jax.Array  # (Mb, 3)
+    map_normals: jax.Array # (Mb, 3)
+    map_mask: jax.Array    # (Mb,)
 
 
 class OdometryDiag(NamedTuple):
@@ -109,10 +134,42 @@ def _frame_features(camera: PinholeCamera, depth, cfg: OdometryConfig, phase=0):
     return src_pts, src_mask, kf_pts, kf_norm, kf_mask
 
 
+def _fuse_map(map_pts, map_nrm, map_mask, kf_pts, kf_norm, kf_mask, cfg: OdometryConfig):
+    """Merge a keyframe cloud into the local map: concat, voxel-dedup at
+    ``map_voxel`` (centroids + renormalized mean normals), decimate to
+    ``map_budget``. All inputs in the same (new keyframe) frame."""
+    from perception_tpu.ops.points import compact_with_attrs, voxel_downsample_with_attrs
+
+    pts = jnp.concatenate([map_pts, kf_pts], axis=0)
+    nrm = jnp.concatenate([map_nrm, kf_norm], axis=0)
+    msk = jnp.concatenate([map_mask, kf_mask], axis=0)
+    fused_pts, fused_nrm, fused_mask = voxel_downsample_with_attrs(
+        pts, msk, nrm, cfg.map_voxel
+    )
+    norm = jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True)
+    fused_nrm = fused_nrm / jnp.maximum(norm, 1e-9)
+    # Opposed normals can cancel in a voxel; drop those points.
+    fused_mask = fused_mask & (norm[:, 0] > 0.2)
+    out_pts, out_nrm, out_mask = compact_with_attrs(
+        fused_pts, fused_mask, fused_nrm, cfg.map_budget
+    )
+    return out_pts, out_nrm, out_mask
+
+
 def init_state(camera: PinholeCamera, depth0: jax.Array, cfg: OdometryConfig = OdometryConfig()) -> OdometryState:
     """Bootstrap from the first frame (identity pose, first keyframe)."""
     _, _, kf_pts, kf_norm, kf_mask = _frame_features(camera, depth0, cfg)
     eye = jnp.eye(4, dtype=jnp.float32)
+    if cfg.map_budget > 0:
+        zero_pts = jnp.full((cfg.map_budget, 3), 1.0e6, jnp.float32)
+        map_pts, map_nrm, map_mask = _fuse_map(
+            zero_pts, jnp.zeros((cfg.map_budget, 3)), jnp.zeros(cfg.map_budget, bool),
+            kf_pts, kf_norm, kf_mask, cfg,
+        )
+    else:
+        map_pts = jnp.zeros((0, 3), jnp.float32)
+        map_nrm = jnp.zeros((0, 3), jnp.float32)
+        map_mask = jnp.zeros((0,), bool)
     return OdometryState(
         pose=eye,
         kf_pose=eye,
@@ -121,6 +178,9 @@ def init_state(camera: PinholeCamera, depth0: jax.Array, cfg: OdometryConfig = O
         kf_mask=kf_mask,
         frame_index=jnp.int32(1),
         num_keyframes=jnp.int32(1),
+        map_points=map_pts,
+        map_normals=map_nrm,
+        map_mask=map_mask,
     )
 
 
@@ -146,32 +206,105 @@ def odometry_step(
     T0 = se3.inverse(state.kf_pose) @ state.pose
     max_d2 = cfg.max_correspondence_distance**2
 
-    def correspondences(T):
-        src_t = se3.transform_points(T, src_pts)
-        idx, d2 = _nn.nearest_neighbor(src_t, state.kf_points, state.kf_mask)
-        gate = src_mask & (d2 <= max_d2)
-        return src_t, idx, d2, gate
+    use_fused = cfg.fused_gn == "on" or (cfg.fused_gn == "auto" and not interpret_mode())
 
-    def gn_body(T, _):
-        src_t, idx, d2, gate = correspondences(T)
-        q = state.kf_points[idx]
-        nrm = state.kf_normals[idx]
-        r = jnp.sum(nrm * (src_t - q), axis=-1)
-        w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
-        J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
-        Jw = J * w[:, None]
-        A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
-        b = -(Jw.T @ r)
-        xi = jnp.linalg.solve(A, b)
-        return se3.se3_exp(xi) @ T, None
+    if cfg.map_budget > 0:
+        # Dense map mode: point-to-plane GN against the fused local map
+        # with voxel-hash NN (sublinear in map size; build once per
+        # step, query each iteration).
+        from perception_tpu.ops import voxelhash
 
-    T, _ = jax.lax.scan(gn_body, T0, None, length=cfg.icp_iterations)
-    _, _, d2, gate = correspondences(T)
+        vh = voxelhash.build(
+            state.map_points, state.map_mask, cell_size=cfg.map_nn_radius
+        )
+        nrm_sorted = state.map_normals[vh.order]
+        r2 = cfg.map_nn_radius**2
 
-    num_corr = jnp.sum(gate, dtype=jnp.int32)
+        def correspondences(T):
+            src_t = se3.transform_points(T, src_pts)
+            idx, d2 = voxelhash.query(vh, src_t, window=cfg.map_nn_window)
+            gate = src_mask & (d2 <= r2)
+            return src_t, idx, d2, gate
+
+        def gn_body(T, _):
+            src_t, idx, d2, gate = correspondences(T)
+            q = vh.points[idx]
+            nrm = nrm_sorted[idx]
+            r = jnp.sum(nrm * (src_t - q), axis=-1)
+            w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
+            J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
+            Jw = J * w[:, None]
+            A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
+            b = -(Jw.T @ r)
+            xi = jnp.linalg.solve(A, b)
+            return se3.se3_exp(xi) @ T, None
+
+        T, _ = jax.lax.scan(gn_body, T0, None, length=cfg.icp_iterations)
+        _, _, d2, gate = correspondences(T)
+        num_corr = jnp.sum(gate, dtype=jnp.int32)
+        fitness = jnp.sum(jnp.where(gate, d2, 0.0)) / jnp.maximum(
+            num_corr.astype(jnp.float32), 1.0
+        )
+    elif use_fused:
+        # North-star path: one Pallas kernel per iteration fuses
+        # correspondence search, gather, residual/Jacobian, and the 6x6
+        # normal-equation contraction with the target VMEM-resident
+        # (ops/pallas/icp_gn.py; ~40x the op-graph path at dense shapes).
+        def system(T):
+            src_t = se3.transform_points(T, src_pts)
+            M, stats = gn_system_pallas(
+                src_t[None], src_mask[None],
+                state.kf_points, state.kf_normals, state.kf_mask,
+                cfg.max_correspondence_distance, cfg.huber_delta,
+                return_stats=True,
+            )
+            A = M[0, :6, :6] + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
+            b = -M[0, :6, 6]
+            return A, b, stats[0, 0], stats[0, 1]
+
+        def gn_body(carry, _):
+            T, _, _ = carry
+            A, b, ngate, gd2 = system(T)
+            xi = jnp.linalg.solve(A, b)
+            return (se3.se3_exp(xi) @ T, ngate, gd2), None
+
+        # Stats ride the scan carry: they describe the correspondence
+        # field at the START of the final iteration (one iteration
+        # stale — at convergence indistinguishable), saving the extra
+        # kernel pass a post-scan probe would cost.
+        (T, ngate, gd2), _ = jax.lax.scan(
+            gn_body, (T0, jnp.float32(0.0), jnp.float32(0.0)), None,
+            length=cfg.icp_iterations,
+        )
+        num_corr = ngate.astype(jnp.int32)
+        fitness = gd2 / jnp.maximum(ngate, 1.0)
+    else:
+        def correspondences(T):
+            src_t = se3.transform_points(T, src_pts)
+            idx, d2 = _nn.nearest_neighbor(src_t, state.kf_points, state.kf_mask)
+            gate = src_mask & (d2 <= max_d2)
+            return src_t, idx, d2, gate
+
+        def gn_body(T, _):
+            src_t, idx, d2, gate = correspondences(T)
+            q = state.kf_points[idx]
+            nrm = state.kf_normals[idx]
+            r = jnp.sum(nrm * (src_t - q), axis=-1)
+            w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
+            J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
+            Jw = J * w[:, None]
+            A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
+            b = -(Jw.T @ r)
+            xi = jnp.linalg.solve(A, b)
+            return se3.se3_exp(xi) @ T, None
+
+        T, _ = jax.lax.scan(gn_body, T0, None, length=cfg.icp_iterations)
+        _, _, d2, gate = correspondences(T)
+        num_corr = jnp.sum(gate, dtype=jnp.int32)
+        fitness = jnp.sum(d2 * gate) / jnp.maximum(num_corr.astype(d2.dtype), 1.0)
+
     denom = jnp.maximum(jnp.sum(src_mask, dtype=jnp.int32), 1)
     overlap = num_corr.astype(jnp.float32) / denom.astype(jnp.float32)
-    fitness = jnp.sum(d2 * gate) / jnp.maximum(num_corr.astype(d2.dtype), 1.0)
 
     # Re-project onto SE(3): the inverse(kf_pose) @ pose warm start
     # doubles any off-manifold drift per frame (see se3.orthonormalize_T).
@@ -188,6 +321,31 @@ def odometry_step(
     )
 
     sel = promote
+    if cfg.map_budget > 0:
+        # On promotion the map re-anchors to the new keyframe frame and
+        # absorbs its cloud; lax.cond skips the fuse (concat + voxel
+        # dedup + decimate) on non-promoted frames.
+        inv_T = se3.inverse(T)
+
+        def do_merge(_):
+            return _fuse_map(
+                se3.transform_points(inv_T, state.map_points),
+                se3.rotate_points(inv_T, state.map_normals),
+                state.map_mask,
+                apply_mask(new_kf_pts, new_kf_mask),
+                new_kf_norm,
+                new_kf_mask,
+                cfg,
+            )
+
+        def keep(_):
+            return (state.map_points, state.map_normals, state.map_mask)
+
+        map_pts, map_nrm, map_mask = jax.lax.cond(sel, do_merge, keep, None)
+    else:
+        map_pts, map_nrm, map_mask = (
+            state.map_points, state.map_normals, state.map_mask
+        )
     new_state = OdometryState(
         pose=new_pose,
         kf_pose=jnp.where(sel, new_pose, state.kf_pose),
@@ -196,6 +354,9 @@ def odometry_step(
         kf_mask=jnp.where(sel, new_kf_mask, state.kf_mask),
         frame_index=state.frame_index + 1,
         num_keyframes=state.num_keyframes + sel.astype(jnp.int32),
+        map_points=map_pts,
+        map_normals=map_nrm,
+        map_mask=map_mask,
     )
     diag = OdometryDiag(fitness=fitness, overlap=overlap, promoted=promote, num_corr=num_corr)
     return new_state, diag

@@ -94,6 +94,29 @@ def voxel_downsample(
     clamp, so a fixed origin only suits clouds within ``dims * leaf``
     of it — at small leaves that span is tiny).
     """
+    centroids, _, out_mask = voxel_downsample_with_attrs(
+        points, mask, None, voxel_size, origin=origin, dims=dims
+    )
+    return centroids, out_mask
+
+
+def voxel_downsample_with_attrs(
+    points: jax.Array,
+    mask: jax.Array,
+    attrs,
+    voxel_size: float,
+    origin=None,
+    dims=(1024, 1024, 1024),
+):
+    """VoxelGrid downsample carrying per-point attributes.
+
+    Like :func:`voxel_downsample`, but also averages an optional
+    ``attrs`` array (N, A) per voxel (e.g. normals — renormalize at the
+    caller; colors; weights). Returns (centroids, attr_means | None,
+    mask), all at the input capacity N. This is the map-fusion
+    primitive: merge keyframe clouds into a deduplicated local map with
+    one call.
+    """
     n = points.shape[0]
     if origin is None:
         lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
@@ -123,8 +146,15 @@ def voxel_downsample(
     out_mask = counts > 0
     # The last segment may mix the final real voxel with invalid points;
     # invalid rows carry zero weight so sums stay correct.
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
-    return apply_mask(centroids, out_mask), out_mask
+    denom = jnp.maximum(counts, 1.0)[:, None]
+    centroids = sums / denom
+    attr_means = None
+    if attrs is not None:
+        attr_sums = jax.ops.segment_sum(
+            attrs[order] * w[:, None], rank_sorted, num_segments=n
+        )
+        attr_means = attr_sums / denom
+    return apply_mask(centroids, out_mask), attr_means, out_mask
 
 
 def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
@@ -157,6 +187,25 @@ def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Arra
     idx = order[:capacity]
     out_mask = keep[idx]
     return apply_mask(points[idx], out_mask), out_mask
+
+
+def compact_with_attrs(
+    points: jax.Array, mask: jax.Array, attrs: jax.Array, capacity: int
+):
+    """:func:`compact` that also gathers per-point attributes.
+
+    Returns (points (capacity, 3), attrs (capacity, A), mask (capacity,)).
+    """
+    cnt = jnp.sum(mask, dtype=jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    ratio = jnp.minimum(capacity, cnt).astype(points.dtype) / jnp.maximum(cnt, 1).astype(points.dtype)
+    r = rank.astype(points.dtype)
+    advance = jnp.floor((r + 1.0) * ratio) > jnp.floor(r * ratio)
+    keep = mask & ((cnt <= capacity) | advance)
+    order = jnp.argsort(~keep, stable=True)
+    idx = order[:capacity]
+    out_mask = keep[idx]
+    return apply_mask(points[idx], out_mask), attrs[idx], out_mask
 
 
 def dominant_blob_filter(

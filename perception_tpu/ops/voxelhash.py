@@ -39,6 +39,9 @@ class VoxelHash(NamedTuple):
     cell_size: jax.Array   # ()
     dims: jax.Array        # (3,) int32 grid extents (traced)
     sentinel_id: jax.Array # () int32 id marking invalid/padded slots
+    order: jax.Array       # (N,) int32 original index per sorted slot —
+                           # gather per-point attributes (normals, colors)
+                           # into hash order with ``attr[vh.order]``
 
 
 def _cell_ids(pts, origin, cell_size, dims):
@@ -71,6 +74,7 @@ def build(ref: jax.Array, ref_mask: jax.Array, cell_size: float) -> VoxelHash:
         cell_size=cell_size,
         dims=dims,
         sentinel_id=sentinel,
+        order=order.astype(jnp.int32),
     )
 
 

@@ -31,6 +31,16 @@ def test_unaligned_sizes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), rtol=1e-4, atol=1e-4)
 
 
+def test_stats_match_oracle():
+    args = case(seed=3, R=2, N=200, M=128)
+    got_M, got_s = gn_system_pallas(*args, 0.5, 0.02, block=128, return_stats=True)
+    exp_M, exp_s = gn_system_oracle(*args, 0.5, 0.02, return_stats=True)
+    np.testing.assert_allclose(np.asarray(got_M), np.asarray(exp_M), rtol=1e-4, atol=1e-4)
+    # Gate counts exact; gated d2 sums to float tolerance.
+    np.testing.assert_allclose(np.asarray(got_s[:, 0]), np.asarray(exp_s[:, 0]))
+    np.testing.assert_allclose(np.asarray(got_s[:, 1]), np.asarray(exp_s[:, 1]), rtol=1e-3, atol=1e-5)
+
+
 def test_gate_excludes_far_points():
     src = jnp.asarray(np.array([[[0.0, 0, 0], [5.0, 5, 5]]], np.float32))
     smask = jnp.ones((1, 2), bool)
