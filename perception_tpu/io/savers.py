@@ -67,6 +67,30 @@ def save_coco_json(path, results: list) -> None:
     Path(path).write_text(json.dumps(results))
 
 
+def load_coco_json(path) -> list:
+    return json.loads(Path(path).read_text())
+
+
+def coco_results_to_keypoints(results: list):
+    """Inverse of ``coco_keypoint_results``: official COCO keypoint
+    results -> {image_id: (keypoints (N, P, 2), visible (N, P) bool,
+    scores (N,))} — the read side of the eval round-trip."""
+    by_image: dict = {}
+    for r in results:
+        kp = np.asarray(r["keypoints"], np.float32).reshape(-1, 3)
+        by_image.setdefault(int(r["image_id"]), []).append(
+            (kp[:, :2], kp[:, 2] > 0, float(r["score"]))
+        )
+    out = {}
+    for img_id, people in by_image.items():
+        out[img_id] = (
+            np.stack([p[0] for p in people]),
+            np.stack([p[1] for p in people]),
+            np.asarray([p[2] for p in people], np.float32),
+        )
+    return out
+
+
 def save_keypoints_npy(path, keypoints: np.ndarray) -> None:
     np.save(path, np.asarray(keypoints))
 

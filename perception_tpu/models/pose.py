@@ -106,6 +106,16 @@ TOPOLOGIES = {
 }
 
 
+def lookup_topology(name: str):
+    """Resolve a topology by name — the four core ones here, the full
+    zoo (BODY_135, CAR_22, BODY_19/23/25B/25D/25E) in models/topologies."""
+    if name in TOPOLOGIES:
+        return TOPOLOGIES[name]
+    from perception_tpu.models.topologies import FULL_ZOO
+
+    return FULL_ZOO[name]
+
+
 # --- network ---------------------------------------------------------------
 
 class ConvBlock(nn.Module):
@@ -220,6 +230,7 @@ def extract_people(
     topology: str = "BODY_25",
     scales: Sequence[float] = (1.0,),
     net_hw: Tuple[int, int] = (368, 368),
+    net: "PoseNet | None" = None,
     **decode_kwargs,
 ) -> People:
     """Full forward pass: image (H, W, 3) [0,1] -> People.
@@ -227,11 +238,14 @@ def extract_people(
     Multi-scale: the image is resized to ``scale * net_hw`` per scale,
     run through the net, and the maps are merged at net resolution
     (PoseExtractorCaffe::forwardPass structure, poseExtractorCaffe.cpp:202-340).
+    ``net`` overrides the default-config PoseNet (e.g. a small trained
+    variant); its head sizes must match the topology.
     """
-    parts, pairs = TOPOLOGIES[topology]
+    parts, pairs = lookup_topology(topology)
     P = len(parts)
     L = len(pairs)
-    net = PoseNet(num_parts=P, num_limbs=L)
+    if net is None:
+        net = PoseNet(num_parts=P, num_limbs=L)
 
     paf_scales, hm_scales = [], []
     for s in scales:
@@ -259,7 +273,7 @@ def _merge(channel_first_maps, out_hw):
 
 
 def init_posenet(key, topology: str = "BODY_25", net_hw=(368, 368)):
-    parts, pairs = TOPOLOGIES[topology]
+    parts, pairs = lookup_topology(topology)
     net = PoseNet(num_parts=len(parts), num_limbs=len(pairs))
     dummy = jnp.zeros((1, net_hw[0], net_hw[1], 3))
     return net.init(key, dummy)

@@ -47,6 +47,20 @@ def load_npz(path, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _mask_empty_leaves(state: Any) -> Any:
+    """Orbax refuses zero-size arrays; they carry no data, so stand in a
+    scalar sentinel (restored from ``like``, which has the real shape)."""
+    def mask(leaf):
+        arr = np.asarray(leaf)
+        if arr.size == 0:
+            return np.zeros((1,), np.int32)
+        # Bare numpy/python scalars are rejected by orbax's template
+        # validation — normalize to 0-d ndarrays.
+        return leaf if isinstance(leaf, (np.ndarray, jax.Array)) else arr
+
+    return jax.tree_util.tree_map(mask, state)
+
+
 def save_orbax(path, state: Any) -> None:
     """Orbax save (falls back to npz if orbax is unavailable)."""
     try:
@@ -56,7 +70,7 @@ def save_orbax(path, state: Any) -> None:
         return
     path = Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, _mask_empty_leaves(state), force=True)
 
 
 def load_orbax(path, like: Any) -> Any:
@@ -66,7 +80,14 @@ def load_orbax(path, like: Any) -> Any:
         return load_npz(str(path) + ".npz", like)
     path = Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, like)
+        restored = ckptr.restore(path, _mask_empty_leaves(like))
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    leaves_restored = jax.tree_util.tree_flatten(restored)[0]
+    out = [
+        ref if np.asarray(ref).size == 0 else got
+        for ref, got in zip(leaves_like, leaves_restored)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def install_snapshot_handler(
