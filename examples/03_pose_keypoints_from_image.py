@@ -4,7 +4,11 @@ The OpenPose flow (poseExtractorCaffe.cpp:202-340): two-branch CNN ->
 heatmap NMS with subpixel refinement -> PAF line-integral pair scoring
 -> greedy skeleton assembly — all inside one jitted call, at a tiny net
 resolution (the reference CI smoke-runs with --net_resolution -1x32 the
-same way; no pretrained weights ship in this zero-egress build).
+same way).
+
+Part 2 runs the *trained* tiny PoseNet fixture (weights trained in-repo
+on synthetic skeleton scenes — tools/train_pose_fixture.py) and
+recovers actual multi-person skeletons from a rendered image.
 """
 
 import sys
@@ -51,6 +55,24 @@ def main() -> None:
     )
     print(f"keep_top_n_people(2) -> {int(np.asarray(top_mask).sum())} kept "
           f"of capacity {top_kp.shape[0]}")
+
+    # --- part 2: trained fixture -> real skeletons from a real image ---
+    from perception_tpu.models.pose_fixture import (
+        FIXTURE_HW,
+        evaluate_pck,
+        fixture_available,
+        load_fixture,
+    )
+
+    if not fixture_available():
+        print("trained fixture absent (run tools/train_pose_fixture.py); "
+              "skipping part 2")
+        return
+    trained = load_fixture()
+    pck, recall = evaluate_pck(trained, jax.random.key(7), n_scenes=2)
+    print(f"trained tiny PoseNet on fresh synthetic scenes: "
+          f"PCK={pck:.2f}, person recall={recall:.2f}")
+    assert recall > 0.5, "trained net failed to find people"
 
 
 if __name__ == "__main__":

@@ -162,6 +162,8 @@ class PoseNet(nn.Module):
     num_limbs: int = 24
     num_stages: int = 3
     backbone_widths: Sequence[int] = (32, 64, 128)
+    stage_width: int = 96
+    stage_depth: int = 4
 
     @nn.compact
     def __call__(self, x):
@@ -173,10 +175,10 @@ class PoseNet(nn.Module):
 
         paf_c = 2 * self.num_limbs
         hm_c = self.num_parts + 1  # + background
-        paf, hm = Stage(paf_c, hm_c)(feats)
+        paf, hm = Stage(paf_c, hm_c, self.stage_width, self.stage_depth)(feats)
         for _ in range(self.num_stages - 1):
             inp = jnp.concatenate([feats, paf, hm], axis=-1)
-            paf, hm = Stage(paf_c, hm_c)(inp)
+            paf, hm = Stage(paf_c, hm_c, self.stage_width, self.stage_depth)(inp)
         return paf, hm
 
 

@@ -1,0 +1,98 @@
+"""Train the tiny PoseNet fixture on synthetic skeleton scenes.
+
+Runs on whatever backend JAX picks (TPU when available; pass --cpu to
+force CPU). Writes tests/fixtures/posenet_mpi15_tiny.msgpack when the
+decode-level PCK target is reached.
+
+Usage: python tools/train_pose_fixture.py [--steps 4000] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--target-pck", type=float, default=0.9)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from perception_tpu.models.pose_data import make_batch
+    from perception_tpu.models.pose_fixture import (
+        FIXTURE_HW,
+        FIXTURE_PATH,
+        evaluate_pck,
+        init_tiny,
+        save_fixture,
+        tiny_posenet,
+    )
+    from perception_tpu.models.train import (
+        init_train_state,
+        make_train_step,
+        pose_loss,
+    )
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    net = tiny_posenet()
+    params = init_tiny(jax.random.key(0))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e3:.1f}k", flush=True)
+
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+    optimizer = optax.adam(sched)
+    step_fn = make_train_step(net.apply, optimizer, loss_fn=pose_loss)
+    state = init_train_state(params, optimizer)
+
+    data_fn = jax.jit(
+        lambda k: {
+            k2: v
+            for k2, v in make_batch(k, args.batch, FIXTURE_HW).items()
+            if k2 != "scene"
+        }
+    )
+
+    key = jax.random.key(1)
+    best_pck = 0.0
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        key, bk = jax.random.split(key)
+        batch = data_fn(bk)
+        state, loss = step_fn(state, batch)
+        if step % args.eval_every == 0 or step == args.steps:
+            pck, recall = evaluate_pck(state.params, jax.random.key(99))
+            print(
+                f"step {step}: loss={float(loss):.5f} pck={pck:.3f} "
+                f"recall={recall:.3f} ({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+            if pck >= best_pck:
+                best_pck = pck
+                save_fixture(state.params, args.out or FIXTURE_PATH)
+            if pck >= args.target_pck and recall >= 0.95:
+                print("target reached", flush=True)
+                break
+
+    print(f"best pck {best_pck:.3f}; fixture at {args.out or FIXTURE_PATH}")
+    return 0 if best_pck >= 0.5 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
