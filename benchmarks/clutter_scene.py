@@ -37,10 +37,14 @@ OBJECT_CLASSES: Dict[str, List[Tuple[str, tuple, tuple]]] = {
     ],
     # flat block
     "eraser": [("box", (0.06, 0.025, 0.012), (0.0, 0.0, 0.0))],
-    # L-shape: two orthogonal bars
+    # L-shape: two orthogonal bars. Sized so its capture point-count is
+    # well separated from the other classes' — the winner gate is
+    # min |cluster - template| points (object_pose_detection.cpp:415-429),
+    # which aliases when two classes have near-equal counts (a fragility
+    # the reference shares).
     "clamp": [
-        ("box", (0.11, 0.02, 0.02), (0.0, 0.0, 0.0)),
-        ("box", (0.02, 0.06, 0.02), (0.045, 0.04, 0.0)),
+        ("box", (0.14, 0.03, 0.025), (0.0, 0.0, 0.0)),
+        ("box", (0.03, 0.08, 0.025), (0.055, 0.05, 0.0)),
     ],
     # thin cylinder lying on its side (axis = z in object frame,
     # rotated flat by the scene pose)
@@ -58,6 +62,45 @@ def class_template(name: str, density: float = 0.002) -> np.ndarray:
             pts = cylinder_surface_template(dims[0], dims[1], density)
         parts.append(pts + np.asarray(off, np.float32))
     return np.concatenate(parts, 0).astype(np.float32)
+
+
+def canonical_object_pose(name: str, table_z: float = 0.70) -> np.ndarray:
+    """The capture pose: object centered on the table, no yaw (marker
+    laid flat on its side, like the scene poses)."""
+    if name == "marker":
+        R = np.asarray(se3.so3_exp(jnp.array([0.0, np.pi / 2, 0.0])), np.float64)
+    else:
+        R = np.eye(3)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = (0.0, 0.0, table_z - 0.014)
+    return T
+
+
+def captured_template(
+    name: str,
+    camera: PinholeCamera,
+    table_z: float = 0.70,
+) -> np.ndarray:
+    """Capture an ICP template the way the reference did: render the
+    object alone on the table, keep the off-table points, and transform
+    them into the object frame (object_detection's templates are
+    sensor captures, not CAD — a partial view that matches what clusters
+    look like, which is what makes the point-count winner gate
+    meaningful)."""
+    T0 = canonical_object_pose(name, table_z)
+    depth = render_depth_clutter(camera, {name: T0}, table_z=table_z, noise=0.0)
+    H, W = depth.shape
+    fx, fy = float(camera.fx), float(camera.fy)
+    cx, cy = float(camera.cx), float(camera.cy)
+    vv, uu = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    z = depth.astype(np.float64)
+    pts = np.stack([(uu - cx) / fx * z, (vv - cy) / fy * z, z], -1).reshape(-1, 3)
+    keep = pts[:, 2] < table_z - 0.004
+    pts = pts[keep]
+    Rinv = T0[:3, :3].T
+    obj = (pts - T0[:3, 3]) @ Rinv.T
+    return obj.astype(np.float32)
 
 
 def _raycast_box(o, d, half):
@@ -103,7 +146,7 @@ def _raycast_cylinder(o, d, radius, height):
 def render_depth_clutter(
     camera: PinholeCamera,
     objects: Dict[str, np.ndarray],
-    table_z: float = 0.85,
+    table_z: float = 0.70,
     noise: float = 0.0012,
     seed: int = 0,
 ) -> np.ndarray:
@@ -141,16 +184,17 @@ def render_depth_clutter(
     return depth.astype(np.float32)
 
 
-def standard_clutter_poses(table_z: float = 0.85) -> Dict[str, np.ndarray]:
+def standard_clutter_poses(table_z: float = 0.70) -> Dict[str, np.ndarray]:
     """A repeatable 4-object tabletop arrangement: each object flat on
     the table (rotated to lie in the x-y plane of the camera at depth
-    ~table_z), spread out, each with its own yaw."""
+    ~table_z), spread so no two surfaces come within the 2 cm cluster
+    tolerance, each with its own yaw."""
     poses = {}
     placements = {
-        "screwdriver": (-0.12, -0.05, 0.35),
-        "eraser": (0.10, -0.06, -0.5),
-        "clamp": (0.02, 0.08, 1.2),
-        "marker": (-0.06, 0.10, 0.0),
+        "screwdriver": (-0.13, -0.08, 0.35),
+        "eraser": (0.11, -0.08, -0.5),
+        "clamp": (0.11, 0.09, 1.2),
+        "marker": (-0.11, 0.10, 0.0),
     }
     for name, (x, y, yaw) in placements.items():
         # object z-extent is small; rest it just above the table

@@ -92,6 +92,22 @@ class CuboidConfig:
     # Cuboid dims for bbox output (launch: 0.2 / 0.1 / 0.03)
     dims: Tuple[float, float, float] = (0.2, 0.1, 0.03)
 
+    @classmethod
+    def pcl_parity(cls) -> "CuboidConfig":
+        """Reference-budget parity mode, one switch: PCL point-to-point
+        ICP semantics with the launch-file budgets — 5000-iteration cap
+        with transform-epsilon 1e-9 early exit
+        (iterative_closest_point.cpp:173-177), full-resolution depth,
+        exact connected-components clustering. For validation runs; the
+        default config is the tuned fast path."""
+        return cls(
+            icp_mode="p2p",
+            icp_max_iterations=5000,
+            depth_stride=1,
+            cluster_filter="cc",
+            pre_capacity=65536,
+        )
+
 
 class CuboidResult(NamedTuple):
     pose: jax.Array            # (4, 4) camera_frame -> cuboid pose (T such that
@@ -351,3 +367,27 @@ def cuboid_pipeline_from_depth(
         points, mask, template, template_mask, key, config,
         template_normals=template_normals,
     )
+
+
+def cuboid_pipeline_batch(
+    depths: jax.Array,          # (B, H, W)
+    camera: PinholeCamera,
+    template: jax.Array,
+    template_mask: jax.Array,
+    keys: jax.Array,            # (B,) PRNG keys
+    config: CuboidConfig = CuboidConfig(),
+    template_normals: Optional[jax.Array] = None,
+) -> CuboidResult:
+    """Frame-batched pipeline: vmap over a block of B depth frames.
+
+    The per-frame pipeline is latency-bound on a chip (small sorts,
+    6x6 solves); batching frames multiplies every stage's parallel work
+    so the MXU/VPU stay fed — the throughput mode for offline replay
+    (the streaming analog of the reference's multi-GPU frame round-robin,
+    wrapperAuxiliary.hpp:159-286, on one chip)."""
+    return jax.vmap(
+        lambda d, k: cuboid_pipeline_from_depth(
+            d, camera, template, template_mask, k, config,
+            template_normals=template_normals,
+        )
+    )(depths, keys)

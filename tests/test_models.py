@@ -126,3 +126,18 @@ def test_detect_object_fails_on_size_gate():
     res = detect_object(pts, mask, tmpl, tm, jax.random.key(7), cfg)
     assert not bool(res.success)
     assert int(res.cluster_id) == -1
+
+
+def test_pcl_parity_mode_switch():
+    """CuboidConfig.pcl_parity() — one switch to reference budgets
+    (5000-iter p2p ICP with eps early-exit, exact CC clustering) — must
+    recover the same pose as the fast path on a clean scene."""
+    pts, mask, tmpl, gts = tabletop_scene()
+    tm = jnp.ones(len(tmpl), bool)
+    cfg = CuboidConfig.pcl_parity()
+    assert cfg.icp_mode == "p2p" and cfg.icp_max_iterations == 5000
+    res = cuboid_pipeline_step(pts, mask, tmpl, tm, jax.random.key(1), cfg)
+    assert bool(res.accepted)
+    assert float(res.fitness) < 4e-4
+    dt, _ = pose_errors(res.pose, gts[0])
+    assert dt < 0.015
