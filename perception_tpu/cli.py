@@ -149,6 +149,93 @@ def cmd_odometry(args) -> None:
         log.emit(metric="ate_rmse_m", value=r.rmse, frames=len(poses))
 
 
+def cmd_slam(args) -> None:
+    """Full SLAM (odometry + keyframes + loop closure + pose graph):
+    over a TUM sequence, or the synthetic revisit benchmark when no
+    --tum is given."""
+    from perception_tpu.utils.profiler import MetricsLog
+
+    log = MetricsLog()
+    if args.tum is None:
+        from benchmarks.slam_bench import run as run_slam_bench
+
+        out = run_slam_bench(frames=args.max_frames)
+        log.emit(**{k: v for k, v in out.items() if np.isscalar(v)})
+        return
+
+    import jax.numpy as jnp
+
+    from perception_tpu.io.tum import TumSequence, tum_camera, write_trajectory
+    from perception_tpu.models.slam.system import SlamConfig, run_slam
+    from perception_tpu.utils.metrics import ate
+
+    seq = TumSequence(args.tum, with_rgb=True)
+    camera = tum_camera(args.freiburg)
+    idxs = list(range(0, min(len(seq), args.max_frames), args.stride))
+    frames = [seq.frame(i) for i in idxs]
+    depths = [np.nan_to_num(f.depth) for f in frames]
+    grays = [
+        f.rgb.mean(-1).astype(np.float32) / 255.0
+        if f.rgb is not None else np.zeros_like(depths[0])
+        for f in frames
+    ]
+    state, poses, diags = run_slam(camera, depths, grays, SlamConfig())
+    poses = [np.asarray(T) for T in poses]
+    if args.out:
+        write_trajectory(args.out, [f.timestamp for f in frames], poses)
+    gts = [f.gt_pose for f in frames]
+    if all(g is not None for g in gts):
+        r = ate(np.stack(poses), np.stack(gts))
+        cfg = SlamConfig()
+        closures = sum(
+            int(d.loop_candidate) >= 0
+            and int(d.loop_inliers) >= cfg.lc_min_inliers
+            for d in diags
+        )
+        log.emit(metric="ate_rmse_m", value=r.rmse, frames=len(poses),
+                 loop_closures=closures)
+
+
+def cmd_pose(args) -> None:
+    """Multi-person 2-D pose with the in-repo trained fixture (or a
+    synthetic scene when no --image is given)."""
+    import jax
+    import jax.numpy as jnp
+
+    from perception_tpu.models.pose import extract_people
+    from perception_tpu.models.pose_fixture import (
+        FIXTURE_HW,
+        fixture_available,
+        load_fixture,
+        tiny_posenet,
+    )
+    from perception_tpu.utils.profiler import MetricsLog
+
+    log = MetricsLog()
+    if not fixture_available():
+        raise SystemExit("trained fixture missing; run tools/train_pose_fixture.py")
+    params = load_fixture()
+    if args.image:
+        import cv2
+
+        img = cv2.imread(args.image)[..., ::-1].astype(np.float32) / 255.0
+    else:
+        from perception_tpu.models.pose_data import render_people, sample_skeletons
+
+        scene = sample_skeletons(jax.random.key(args.seed), FIXTURE_HW)
+        img = np.asarray(render_people(scene, FIXTURE_HW))
+    ppl = extract_people(
+        params, jnp.asarray(img), topology="MPI_15", net_hw=FIXTURE_HW,
+        net=tiny_posenet(), peak_threshold=0.2, min_person_parts=5,
+    )
+    n = int(np.asarray(ppl.mask).sum())
+    log.emit(people=n, scores=[round(float(s), 3) for s in np.asarray(ppl.score)[:n]])
+    if args.out_json:
+        from perception_tpu.io.savers import save_people_json
+
+        save_people_json(args.out_json, np.asarray(ppl.keypoints), np.asarray(ppl.mask))
+
+
 def cmd_bench(args) -> None:
     import bench
 
@@ -164,6 +251,8 @@ def main(argv=None) -> None:
     common.add_argument("--depth-scale", type=float, default=0.001,
                         help="meters per depth unit for u16 PNGs (RealSense 0.001, TUM 0.0002)")
     common.add_argument("--seed", type=int, default=0)
+    common.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (overrides the env default)")
 
     c = sub.add_parser("cuboid", parents=[common], help="ground-plane seg + template ICP pose")
     c.add_argument("--depth", required=True)
@@ -186,10 +275,29 @@ def main(argv=None) -> None:
     d.add_argument("--out", default=None, help="write TUM-format trajectory")
     d.set_defaults(fn=cmd_odometry)
 
+    s = sub.add_parser("slam", parents=[common],
+                       help="full SLAM (odometry+loop closure+pose graph) + ATE")
+    s.add_argument("--tum", default=None, help="TUM sequence dir (default: synthetic revisit)")
+    s.add_argument("--freiburg", type=int, default=1)
+    s.add_argument("--max-frames", type=int, default=300)
+    s.add_argument("--stride", type=int, default=1)
+    s.add_argument("--out", default=None, help="write TUM-format trajectory")
+    s.set_defaults(fn=cmd_slam)
+
+    po = sub.add_parser("pose", parents=[common],
+                        help="multi-person 2-D pose (trained fixture)")
+    po.add_argument("--image", default=None, help="RGB image (default: synthetic scene)")
+    po.add_argument("--out-json", default=None, help="write OpenPose-style people JSON")
+    po.set_defaults(fn=cmd_pose)
+
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 

@@ -50,5 +50,26 @@ def test_cli_help():
              "PYTHONPATH": "/root/repo"},
     )
     assert proc.returncode == 0
-    for cmd in ("cuboid", "objects", "odometry", "bench"):
+    for cmd in ("cuboid", "objects", "odometry", "slam", "pose", "bench"):
         assert cmd in proc.stdout
+
+
+@pytest.mark.slow
+def test_cli_pose_trained_fixture(tmp_path):
+    from perception_tpu.models.pose_fixture import fixture_available
+
+    if not fixture_available():
+        pytest.skip("pose fixture not trained")
+    out_json = tmp_path / "people.json"
+    proc = subprocess.run(
+        [sys.executable, "-m", "perception_tpu.cli", "pose", "--cpu",
+         "--seed", "3", "--out-json", str(out_json)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["people"] >= 1
+    doc = json.loads(out_json.read_text())
+    assert len(doc["people"]) == out["people"]
