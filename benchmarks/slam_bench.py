@@ -27,7 +27,6 @@ def run(frames: int = 300, width: int = 320, height: int = 240) -> dict:
     from perception_tpu.models.slam.odometry import OdometryConfig
     from perception_tpu.models.slam.system import (
         SlamConfig,
-        correct_with_pose_graph,
         slam_init,
         slam_step,
     )
@@ -77,25 +76,20 @@ def run(frames: int = 300, width: int = 320, height: int = 240) -> dict:
     gj = [jnp.asarray(g) for g in grays]
     jax.block_until_ready(dj[-1])
 
+    # Pure async dispatch: corrections run on-device inside slam_step
+    # (cfg.correct_in_step), so the timed loop never syncs on a flag.
     poses = [np.eye(4)]
-    n_corrections = 0
-    prev_flag = state.loop_found
+    flags = []
     key = jax.random.key(0)
     t0 = time.perf_counter()
     for d, g in zip(dj[1:], gj[1:]):
         key, sub = jax.random.split(key)
         state, diag = slam_step(state, d, g, camera, sub, cfg)
-        if bool(prev_flag):
-            state = correct_with_pose_graph(state)
-            n_corrections += 1
-        prev_flag = state.loop_found
         poses.append(state.odom.pose)
-    if bool(prev_flag):
-        state = correct_with_pose_graph(state)
-        n_corrections += 1
-        poses[-1] = state.odom.pose
+        flags.append(state.loop_found)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+    n_corrections = int(jnp.sum(jnp.stack(flags)))
 
     est = np.stack([np.asarray(p) for p in poses])
     gtp = np.stack([np.asarray(T) for T in gt])

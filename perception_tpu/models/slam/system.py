@@ -60,6 +60,12 @@ class SlamConfig:
     lc_min_matches: int = 25
     lc_ransac_threshold: float = 0.05
     lc_min_inliers: int = 12
+    # Pose-graph correction fused into slam_step under lax.cond: the
+    # graph GN runs on-device only on closure frames, and the host loop
+    # never has to sync on loop_found (each host round-trip through the
+    # remote-chip tunnel costs more than the whole step).
+    correct_in_step: bool = True
+    pg_iterations: int = 10
 
 
 class KeyframeStore(NamedTuple):
@@ -165,8 +171,68 @@ def slam_step(
     slot = kf.count % cfg.max_keyframes
     evict = promoted & (kf.count >= cfg.max_keyframes)
 
+    # --- promotion-only work, skipped at runtime on ordinary frames ----
+    # Feature extraction, the K x F x F descriptor match, and RANSAC
+    # verification only matter when a keyframe is promoted (~10% of
+    # frames); lax.cond executes just one branch, so tracking frames pay
+    # only the odometry cost. (Matching runs against the pre-insertion
+    # store; the new slot and the current keyframe are excluded from
+    # eligibility either way.)
+    F = cfg.features_per_kf
+
+    def _probe_branch(_):
+        desc, xyz, kpm = _kf_features(camera, depth, gray, cfg)
+
+        def match_one(d_other, m_other):
+            m = match_descriptors(desc, kpm, d_other, m_other, max_matches=F)
+            return m.idx_a, m.idx_b, m.mask
+
+        ia, ib, mm = jax.vmap(match_one)(kf.desc, kf.kp_mask)  # (K, F)
+        match_counts = jnp.sum(mm, axis=1, dtype=jnp.int32)
+        kf_idx = jnp.arange(cfg.max_keyframes)
+        # Temporal adjacency via insertion stamps, not slot indices —
+        # the ring wraps. The new keyframe's stamp is kf.count.
+        eligible = (
+            kf.valid
+            & (kf.stamp >= 0)
+            & (kf.count - kf.stamp >= cfg.lc_min_gap)
+            & (kf_idx != slot)
+            & (kf_idx != cur)
+        )
+        match_counts = jnp.where(eligible, match_counts, -1)
+        cand = jnp.argmax(match_counts)
+        cand_matches = match_counts[cand]
+
+        # Geometric verification: rigid 3D-3D between matched keypoints.
+        src = xyz[ia[cand]]
+        dst = kf.kp_xyz[cand][ib[cand]]
+        pair_mask = mm[cand] & kpm[ia[cand]] & kf.kp_mask[cand][ib[cand]]
+        fit = ransac_rigid(
+            src, dst, pair_mask, key,
+            threshold=cfg.lc_ransac_threshold,
+            num_hypotheses=128,
+            min_inliers=cfg.lc_min_inliers,
+        )
+        return (desc, xyz, kpm, cand.astype(jnp.int32), cand_matches,
+                fit.transform, fit.num_inliers, fit.valid)
+
+    def _skip_branch(_):
+        return (
+            jnp.zeros((F, 8), jnp.uint32),
+            jnp.zeros((F, 3), jnp.float32),
+            jnp.zeros((F,), bool),
+            jnp.int32(0),
+            jnp.int32(-1),
+            jnp.eye(4, dtype=kf.poses.dtype),
+            jnp.int32(0),
+            jnp.bool_(False),
+        )
+
+    (desc, xyz, kpm, cand, cand_matches, fit_T, fit_inliers, fit_valid) = (
+        jax.lax.cond(promoted, _probe_branch, _skip_branch, None)
+    )
+
     # --- keyframe insertion (masked write at `slot`) -------------------
-    desc, xyz, kpm = _kf_features(camera, depth, gray, cfg)
     kf2 = KeyframeStore(
         poses=kf.poses.at[slot].set(jnp.where(promoted, odom.pose, kf.poses[slot])),
         desc=kf.desc.at[slot].set(jnp.where(promoted, desc, kf.desc[slot])),
@@ -194,48 +260,16 @@ def slam_step(
         count=edges.count + promoted.astype(jnp.int32),
     )
 
-    # --- loop closure probe (only meaningful when promoted) ------------
-    # Batched match of the new descriptors against every stored keyframe.
-    def match_one(d_other, m_other):
-        m = match_descriptors(desc, kpm, d_other, m_other, max_matches=cfg.features_per_kf)
-        return m.idx_a, m.idx_b, m.mask
-
-    ia, ib, mm = jax.vmap(match_one)(kf2.desc, kf2.kp_mask)  # (K, F) each
-    match_counts = jnp.sum(mm, axis=1, dtype=jnp.int32)
-    kf_idx = jnp.arange(cfg.max_keyframes)
-    # Temporal adjacency is measured with insertion stamps, not slot
-    # indices — the ring wraps, so neighboring slots are not neighboring
-    # in time. The new keyframe's stamp is kf.count (pre-increment).
-    eligible = (
-        kf2.valid
-        & (kf2.stamp >= 0)
-        & (kf.count - kf2.stamp >= cfg.lc_min_gap)
-        & (kf_idx != slot)
-        & (kf_idx != cur)
-    )
-    match_counts = jnp.where(eligible, match_counts, -1)
-    cand = jnp.argmax(match_counts)
-    cand_matches = match_counts[cand]
+    # --- loop closure decision (probe results from the cond above) -----
     probe = promoted & (cand_matches >= cfg.lc_min_matches)
-
-    # Geometric verification: rigid 3D-3D between matched keypoints.
-    src = xyz[ia[cand]]                 # new kf points (this camera frame)
-    dst = kf2.kp_xyz[cand][ib[cand]]    # candidate kf frame
-    pair_mask = mm[cand] & kpm[ia[cand]] & kf2.kp_mask[cand][ib[cand]]
-    fit = ransac_rigid(
-        src, dst, pair_mask, key,
-        threshold=cfg.lc_ransac_threshold,
-        num_hypotheses=128,
-        min_inliers=cfg.lc_min_inliers,
-    )
-    loop_ok = probe & fit.valid
+    loop_ok = probe & fit_valid
 
     e2 = edges2.count % cfg.max_edges
     edges3 = EdgeList(
         i=edges2.i.at[e2].set(jnp.where(loop_ok, cand, edges2.i[e2])),
         j=edges2.j.at[e2].set(jnp.where(loop_ok, slot, edges2.j[e2])),
         # fit maps new-kf points into candidate frame: T_cand_new.
-        T=edges2.T.at[e2].set(jnp.where(loop_ok, fit.transform, edges2.T[e2])),
+        T=edges2.T.at[e2].set(jnp.where(loop_ok, fit_T, edges2.T[e2])),
         weight=edges2.weight.at[e2].set(jnp.where(loop_ok, 2.0, edges2.weight[e2])),
         mask=edges2.mask.at[e2].set(jnp.where(loop_ok, True, edges2.mask[e2])),
         count=edges2.count + loop_ok.astype(jnp.int32),
@@ -248,11 +282,18 @@ def slam_step(
         current_kf=jnp.where(promoted, slot, cur),
         loop_found=loop_ok,
     )
+    if cfg.correct_in_step:
+        new_state = jax.lax.cond(
+            loop_ok,
+            lambda s: correct_with_pose_graph(s, iterations=cfg.pg_iterations),
+            lambda s: s,
+            new_state,
+        )
     diag = SlamDiag(
         promoted=promoted,
         loop_candidate=jnp.where(probe, cand, -1).astype(jnp.int32),
         loop_matches=cand_matches,
-        loop_inliers=fit.num_inliers,
+        loop_inliers=fit_inliers,
         overlap=odiag.overlap,
     )
     return new_state, diag
@@ -286,15 +327,14 @@ def correct_with_pose_graph(state: SlamState, iterations: int = 10) -> SlamState
 
 
 def run_slam(camera: PinholeCamera, depths, grays, cfg: SlamConfig = SlamConfig()):
-    """Host loop: track every frame, correct after each loop closure.
+    """Host loop: track every frame, correcting on loop closures.
 
-    Async-dispatch discipline: the closure flag of step t is inspected
-    *after* step t+1 has been enqueued, so the host-device sync the
-    ``bool()`` forces overlaps with the next frame's compute instead of
-    stalling the stream (round-1 synced every frame — VERDICT weak 5).
-    Corrections therefore land one frame late, which is harmless: the
-    pose graph and its new edge are already in the state either way.
-    """
+    With ``cfg.correct_in_step`` (default) the pose-graph correction is
+    fused into ``slam_step`` under ``lax.cond``, so this loop is pure
+    async dispatch: zero host-device syncs until the trajectory is
+    gathered at the end. The legacy host-triggered mode keeps the
+    overlapped one-frame-late sync (the closure flag of step t is
+    inspected after step t+1 is enqueued)."""
     state = slam_init(camera, jnp.asarray(depths[0]), jnp.asarray(grays[0]), cfg)
     poses = [jnp.eye(4)]
     diags = []
@@ -303,12 +343,13 @@ def run_slam(camera: PinholeCamera, depths, grays, cfg: SlamConfig = SlamConfig(
     for d, g in zip(depths[1:], grays[1:]):
         key, sub = jax.random.split(key)
         state, diag = slam_step(state, jnp.asarray(d), jnp.asarray(g), camera, sub, cfg)
-        if bool(prev_flag):  # previous step — already materialized
-            state = correct_with_pose_graph(state)
-        prev_flag = state.loop_found
+        if not cfg.correct_in_step:
+            if bool(prev_flag):  # previous step — already materialized
+                state = correct_with_pose_graph(state)
+            prev_flag = state.loop_found
         poses.append(state.odom.pose)
         diags.append(diag)
-    if bool(prev_flag):
+    if not cfg.correct_in_step and bool(prev_flag):
         state = correct_with_pose_graph(state)
         poses[-1] = state.odom.pose
     return state, poses, diags
