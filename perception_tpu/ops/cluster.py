@@ -64,8 +64,9 @@ def euclidean_cluster(
     ids = jnp.where(mask, ids, big)
 
     # Unique occupied voxels, sorted; per-point voxel rank.
-    sorted_ids = jnp.sort(ids)
-    order = jnp.argsort(ids)
+    sorted_ids, order = jax.lax.sort(
+        (ids, jnp.arange(ids.shape[0], dtype=jnp.int32)), num_keys=1
+    )
     first = jnp.concatenate([jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
     vox_valid_sorted = sorted_ids < big
     first = first & vox_valid_sorted

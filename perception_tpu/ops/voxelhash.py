@@ -66,10 +66,12 @@ def build(ref: jax.Array, ref_mask: jax.Array, cell_size: float) -> VoxelHash:
     ids = _cell_ids(ref, origin, cell_size, dims)
     sentinel = dims[0] * dims[1] * dims[2]
     ids = jnp.where(ref_mask, ids, sentinel)
-    order = jnp.argsort(ids)
+    sorted_ids, order = jax.lax.sort(
+        (ids, jnp.arange(ids.shape[0], dtype=jnp.int32)), num_keys=1
+    )
     return VoxelHash(
         points=ref_p[order],
-        cell_ids=ids[order],
+        cell_ids=sorted_ids,
         origin=origin,
         cell_size=cell_size,
         dims=dims,
