@@ -17,7 +17,7 @@ from __future__ import annotations
 import time
 
 
-def run(frames: int = 300, width: int = 320, height: int = 240) -> dict:
+def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
