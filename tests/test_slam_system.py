@@ -236,3 +236,31 @@ def test_slam_step_jits_once():
     st, diag = slam_step(st, jnp.asarray(depths[1]), jnp.asarray(grays[1]), camera, key, cfg)
     st, diag = slam_step(st, jnp.asarray(depths[2]), jnp.asarray(grays[2]), camera, key, cfg)
     assert np.isfinite(float(diag.overlap))
+
+
+def test_in_step_correction_matches_host_mode():
+    """cfg.correct_in_step (pose-graph GN fused into slam_step under
+    lax.cond) must produce the same trajectory as the legacy
+    host-triggered correction when closures fire at the same frames."""
+    import dataclasses
+
+    camera = cam()
+    gt = out_and_back_trajectory(n=20, radius=0.5)
+    grays, depths = make_seq(camera, gt)
+    cfg_fused = slam_cfg()
+    assert cfg_fused.correct_in_step
+    cfg_host = dataclasses.replace(cfg_fused, correct_in_step=False)
+
+    _, poses_fused, diags_f = run_slam(camera, depths, grays, cfg_fused)
+    _, poses_host, diags_h = run_slam(camera, depths, grays, cfg_host)
+
+    # Same promotions and closure candidates frame by frame.
+    for df, dh in zip(diags_f, diags_h):
+        assert bool(df.promoted) == bool(dh.promoted)
+        assert int(df.loop_candidate) == int(dh.loop_candidate)
+    # Trajectories agree to float tolerance. The host mode applies each
+    # correction one frame late by design, so compare the final pose
+    # (both modes have every correction applied by then).
+    np.testing.assert_allclose(
+        np.asarray(poses_fused[-1]), np.asarray(poses_host[-1]), atol=2e-3
+    )
