@@ -45,6 +45,12 @@ class ObjectConfig:
     cluster_max_size: int = 25000
     max_clusters: int = 8
     cluster_capacity: int = 4096
+    # Static working-set cap after the voxel downsample: plane RANSAC
+    # and connected-components clustering run on this capacity instead
+    # of the raw frame's (a full 640x480 cloud keeps 307k slots through
+    # voxel_downsample — label propagation over that is minutes of
+    # compile+run; compacted to 32k it is interactive).
+    work_capacity: int = 32768
     icp_restarts: int = 4
     icp_max_iterations: int = 100
     size_gate: int = 250                # |cluster - template| point gate (:429)
@@ -79,6 +85,14 @@ def detect_object(
     m = P.passthrough(points, mask, 2, *config.z_limits)
     m = P.passthrough(points, m, 0, *config.x_limits)
     dpts, dm = P.voxel_downsample(points, m, config.voxel_size)
+    # keep-ratio of the working-set compaction; the size gate compares
+    # cluster counts against the template at the same effective density,
+    # so the template count is scaled by the same ratio below.
+    keep_ratio = jnp.float32(1.0)
+    if dpts.shape[0] > config.work_capacity:
+        cnt = jnp.sum(dm, dtype=jnp.float32)
+        keep_ratio = jnp.minimum(1.0, config.work_capacity / jnp.maximum(cnt, 1.0))
+        dpts, dm = P.compact(dpts, dm, config.work_capacity)
     plane = ransac_plane(
         dpts, dm, key, threshold=config.ransac_threshold,
         num_hypotheses=config.ransac_hypotheses,
@@ -136,7 +150,9 @@ def detect_object(
     # the voxel downsample, so the template is counted at the same
     # resolution to keep the 250-point gate meaningful.
     _, tmpl_dm = P.voxel_downsample(template, template_mask, config.voxel_size)
-    tmpl_size = jnp.sum(tmpl_dm, dtype=jnp.int32)
+    tmpl_size = jnp.round(
+        jnp.sum(tmpl_dm, dtype=jnp.float32) * keep_ratio
+    ).astype(jnp.int32)
     diffs = jnp.abs(clusters.sizes - tmpl_size)
     diffs = jnp.where(alive, diffs, jnp.iinfo(jnp.int32).max)
     win = jnp.argmin(diffs)
