@@ -41,6 +41,9 @@ class ObjectConfig:
     ransac_threshold: float = 0.01
     table_z_cut: float = 0.75           # extra z filter (:330-336)
     cluster_tolerance: float = 0.02
+    # PCL-exact radius connectivity (point-level distance checks) vs
+    # fast voxel adjacency; see ops/cluster.py connectivity modes.
+    exact_clustering: bool = False
     cluster_min_size: int = 200
     cluster_max_size: int = 25000
     max_clusters: int = 8
@@ -106,6 +109,7 @@ def detect_object(
         min_size=config.cluster_min_size,
         max_size=config.cluster_max_size,
         max_clusters=C,
+        refine=config.exact_clustering,
     )
 
     # Gather every cluster to its own fixed-capacity row: (C, cap, 3).

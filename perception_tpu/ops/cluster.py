@@ -14,11 +14,21 @@ a vector machine, so the algorithm is reformulated:
   3. per-point labels, size filtering, and dense relabeling — all
      fixed-capacity masked ops.
 
-Deviation from PCL: connectivity is voxel-adjacency, which can bridge
-points up to 2*sqrt(3)*tol apart (corner-adjacent cells) where PCL uses
-the exact Euclidean radius. For tabletop scenes with cm-separated
-objects the clusterings agree; ``refine=True`` would need per-pair
-distance checks (future work, documented).
+Connectivity modes:
+
+- ``refine=False`` (default, fastest): voxel-adjacency, which can
+  bridge points up to 2*sqrt(3)*tol apart (corner-adjacent cells)
+  where PCL uses the exact Euclidean radius. For tabletop scenes with
+  cm-separated objects the clusterings agree.
+- ``refine=True`` (PCL-exact semantics): the component graph is built
+  at the *point* level — each point gathers up to ``window`` candidate
+  points from each of its 27 neighbor cells (sorted-cell contiguous
+  windows, the voxel-hash layout) and an edge exists iff the actual
+  pair distance is <= tolerance, exactly PCL's radius criterion. The
+  only approximation is the fixed per-cell window: a connecting pair
+  beyond the first ``window`` points of a cell can be missed (splits,
+  never merges, vs PCL). With cell = tolerance and voxel-downsampled
+  inputs, cells hold far fewer than the default 16 points.
 """
 
 from __future__ import annotations
@@ -37,7 +47,9 @@ class Clusters(NamedTuple):
     centroids: jax.Array     # (max_clusters, 3) cluster centroids
 
 
-@functools.partial(jax.jit, static_argnames=("max_clusters", "max_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("max_clusters", "max_iters", "refine", "window")
+)
 def euclidean_cluster(
     points: jax.Array,
     mask: jax.Array,
@@ -48,6 +60,8 @@ def euclidean_cluster(
     max_iters: int = 64,
     origin=(-5.0, -5.0, -5.0),
     dims=(1024, 1024, 1024),
+    refine: bool = False,
+    window: int = 16,
 ) -> Clusters:
     """Cluster a masked cloud; returns per-point labels + cluster stats.
 
@@ -109,6 +123,55 @@ def euclidean_cluster(
         labels, it, changed = state
         return changed & (it < max_iters)
 
+    if refine:
+        # PCL-exact connectivity: point-level CC over distance-checked
+        # edges. Candidate neighbors of point i = the first `window`
+        # points of each of its 27 adjacent cells (contiguous segments
+        # of the sorted-by-cell order — the voxel-hash layout); an edge
+        # exists iff |p_i - p_j| <= tolerance.
+        seg_start = jnp.searchsorted(sorted_ids, vox_ids, side="left")
+        seg_end = jnp.searchsorted(sorted_ids, vox_ids, side="right")
+        pr = jnp.clip(point_rank, 0, n - 1)
+        nb = neigh_pos[pr]                                # (n, 27) voxel ranks
+        nb_ok = (nb < n) & (point_rank >= 0)[:, None]
+        nbc = jnp.clip(nb, 0, n - 1)
+        starts = seg_start[nbc]                           # (n, 27)
+        ends = seg_end[nbc]
+        w = jnp.arange(window, dtype=jnp.int32)
+        cand_pos = starts[..., None] + w                  # (n, 27, window)
+        cand_ok = nb_ok[..., None] & (cand_pos < ends[..., None])
+        cand_idx = order[jnp.clip(cand_pos, 0, n - 1)]    # point indices
+        d2 = jnp.sum(
+            (points[:, None, None, :] - points[cand_idx]) ** 2, axis=-1
+        )
+        cand_ok = cand_ok & (d2 <= tolerance * tolerance) & mask[cand_idx]
+        cand_idx = cand_idx.reshape(n, -1)
+        cand_ok = cand_ok.reshape(n, -1)
+
+        def _point_propagate(labels):
+            neigh_lab = jnp.where(cand_ok, labels[cand_idx], jnp.int32(n))
+            new = jnp.minimum(labels[:n], jnp.min(neigh_lab, axis=1))
+            new = jnp.where(mask, new, jnp.int32(n))
+            for _ in range(5):  # pointer doubling (labels[j] <= j)
+                new = jnp.minimum(new, new[jnp.clip(new, 0, n - 1)])
+            new = jnp.where(mask, new, jnp.int32(n))
+            return jnp.append(new, jnp.int32(n))
+
+        def point_body(state):
+            labels, it, _ = state
+            new = _point_propagate(labels)
+            changed = jnp.any(new[:n] != labels[:n])
+            return (new, it + 1, changed)
+
+        init_pt = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        labels_ext, _, _ = jax.lax.while_loop(
+            cond, point_body,
+            (jnp.append(init_pt, jnp.int32(n)), jnp.int32(0), jnp.bool_(True)),
+        )
+        point_root = jnp.where(mask, labels_ext[:n], jnp.int32(n))
+        return _rank_components(points, mask, point_root, n,
+                                min_size, max_size, max_clusters)
+
     def _propagate(labels):
         """One neighbor min-label round, then pointer DOUBLING (5 hops
         of label = label[label], each squaring the chain compression).
@@ -138,7 +201,16 @@ def euclidean_cluster(
 
     # Per-point component root (a voxel rank), -1 for invalid points.
     point_root = jnp.where(point_rank >= 0, labels_vox[jnp.clip(point_rank, 0, n - 1)], n)
+    return _rank_components(points, mask, point_root, n,
+                            min_size, max_size, max_clusters)
 
+
+def _rank_components(points, mask, point_root, n, min_size, max_size, max_clusters):
+    """Size-gate components, rank by size into dense slots, compute stats.
+
+    ``point_root`` maps each point to a component root id in [0, n)
+    (n = invalid); roots may be voxel ranks or point indices.
+    """
     # Component sizes in point counts.
     comp_sizes = jax.ops.segment_sum(
         mask.astype(jnp.int32), jnp.clip(point_root, 0, n), num_segments=n + 1
