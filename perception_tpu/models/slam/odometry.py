@@ -34,8 +34,11 @@ from perception_tpu.geometry.camera import PinholeCamera
 from perception_tpu.ops import nn as _nn
 from perception_tpu.ops.icp import _huber_weight
 from perception_tpu.ops.normals import normals_from_depth
-from perception_tpu.ops.pallas import interpret_mode
-from perception_tpu.ops.pallas.icp_gn import gn_system_pallas
+from perception_tpu.ops.pallas.icp_gn import (
+    gn_system_packed,
+    pack_source,
+    pack_target,
+)
 from perception_tpu.ops.points import apply_mask
 
 
@@ -52,13 +55,19 @@ class OdometryConfig:
     normal_max_edge: float = 0.05     # tangent-length discontinuity gate;
                                       # scale up for low-res/wide-FOV cameras
                                       # (tangents ~ depth/fx)
-    fused_gn: str = "auto"            # "auto": Pallas fused GN kernel on TPU,
-                                      # jnp op-graph elsewhere; "on": always
-                                      # (interpreted off-TPU — tests only);
-                                      # "off": always the jnp path. At the
-                                      # default dense shapes (4096 x 8192)
-                                      # the fused kernel is ~40x the op-graph
-                                      # path on TPU (ops/pallas/icp_gn.py).
+    fused_gn: str = "auto"            # "auto"/"off": the jnp op-graph path —
+                                      # measured end-to-end on v5e it beats
+                                      # the hand kernel at every tested shape
+                                      # (0.80x fused at 4096 x 8192, 0.74x at
+                                      # 8192 x 32768: brute NN is HBM-bound
+                                      # in the op-graph and padded-MXU-depth-
+                                      # bound in the kernel, roughly tied per
+                                      # iteration, and XLA fuses the rest of
+                                      # the GN body for free — see
+                                      # ops/pallas/icp_gn.py for numbers).
+                                      # "on": the Pallas fused GN kernel
+                                      # (oracle-parity tested; interpreted
+                                      # off-TPU).
     # --- dense local-map fusion mode (map_budget > 0) -----------------
     # ICP targets a voxel-fused map of recent keyframes instead of one
     # keyframe cloud; at these sizes (>= 32k points) nearest-neighbor
@@ -206,7 +215,7 @@ def odometry_step(
     T0 = se3.inverse(state.kf_pose) @ state.pose
     max_d2 = cfg.max_correspondence_distance**2
 
-    use_fused = cfg.fused_gn == "on" or (cfg.fused_gn == "auto" and not interpret_mode())
+    use_fused = cfg.fused_gn == "on"
 
     if cfg.map_budget > 0:
         # Dense map mode: point-to-plane GN against the fused local map
@@ -246,15 +255,21 @@ def odometry_step(
             num_corr.astype(jnp.float32), 1.0
         )
     elif use_fused:
-        # North-star path: one Pallas kernel per iteration fuses
-        # correspondence search, gather, residual/Jacobian, and the 6x6
-        # normal-equation contraction with the target VMEM-resident
-        # (ops/pallas/icp_gn.py; ~40x the op-graph path at dense shapes).
+        # North-star path: one Pallas kernel per iteration fuses the
+        # SE(3) transform (pose rides in SMEM), correspondence search,
+        # gather, residual/Jacobian, and the 6x6 normal-equation
+        # contraction with the target VMEM-resident (ops/pallas/
+        # icp_gn.py). Operands are packed ONCE before the scan — the
+        # per-iteration work is 16 SMEM scalars + the kernel, nothing
+        # O(N) or O(M) in the op graph.
+        src8 = pack_source(src_pts[None], src_mask[None])
+        tgtd, tnrm8 = pack_target(
+            state.kf_points, state.kf_normals, state.kf_mask
+        )
+
         def system(T):
-            src_t = se3.transform_points(T, src_pts)
-            M, stats = gn_system_pallas(
-                src_t[None], src_mask[None],
-                state.kf_points, state.kf_normals, state.kf_mask,
+            M, stats = gn_system_packed(
+                src8, tgtd, tnrm8, T[None],
                 cfg.max_correspondence_distance, cfg.huber_delta,
                 return_stats=True,
             )

@@ -3,11 +3,17 @@
 The north-star "Pallas Gauss-Newton ICP" (BASELINE.json): one kernel
 performs, per source block, the entire inner loop body —
 
-  1. brute-force correspondence: distance tile vs the VMEM-resident
-     target via one MXU contraction + row argmin;
-  2. target point/normal gather as one-hot matmuls (gather-free);
-  3. residual r = n.(p - q), Jacobian J = [n, p x n], Huber weight;
-  4. the whole normal-equation system as ONE (8, B) x (B, 8) MXU
+  1. SE(3) transform of the source block (the per-iteration pose lives
+     in SMEM, so the outer GN loop re-invokes the kernel with 12 new
+     scalars instead of re-materializing an (N, 8) transformed cloud);
+  2. brute-force correspondence: distance tiles vs the VMEM-resident
+     target via MXU contractions + running row argmin, chunked over the
+     target axis so VMEM stays bounded at (block x tchunk) regardless
+     of target size (a single monolithic (block x M) distance tile
+     OOMs scoped VMEM at M = 32k);
+  3. target point/normal gather as one-hot matmuls (gather-free);
+  4. residual r = n.(p - q), Jacobian J = [n, p x n], Huber weight;
+  5. the whole normal-equation system as ONE (8, B) x (B, 8) MXU
      contraction of Jhat = [n | p x n | r | 1] against itself:
      M[:6,:6] = A = J^T W J,  M[:6,6] = J^T W r,  M[6,6] = r^T W r,
      M[7,7] = sum W  — accumulated across blocks and restarts in VMEM.
@@ -16,18 +22,39 @@ The outer loop (6x6 solve + SE(3) update, a few microseconds) stays in
 jnp. Versus the XLA op-graph path this collapses ~25 ops per iteration
 into one kernel launch and keeps every intermediate in VMEM.
 
-Measured on TPU v5e (see round-1 notes): at the cuboid-template shapes
-(target ~1-2k points) XLA's own fusion is already at parity, so the
-pipeline keeps the jnp path; at dense-fusion shapes (N >= 4k source,
-M >= 8k target) the VMEM-resident target wins big — 0.03 ms vs 1.13 ms
-for (4096 x 8192), ~40x — which is the regime this kernel exists for.
-Correspondences can differ from the oracle on exact distance ties
-(both are true nearest neighbors).
+Measured on TPU v5e (round 2, benchmarks/odometry_bench.py): the jnp
+op-graph GN iteration beats this kernel end-to-end at every tested
+shape — fused/op-graph throughput 0.80x at 4096 x 8192 and 0.74x at
+8192 x 32768. Roofline analysis says why: brute-force NN costs
+N x M x 4 bytes of HBM traffic in the op-graph (ops/nn.py already
+tiles it) versus N x M x 128-padded-depth MXU cycles here (the 8-wide
+contraction pads to the MXU's 128 depth, and the one-hot gather
+matmul pays the same again), which lands within ~25% of each other on
+v5e — and XLA fuses the rest of the GN body into its path for free.
+The odometry production default is therefore the op-graph
+(OdometryConfig.fused_gn = "auto"); this kernel is kept oracle-parity
+tested as the VMEM-resident alternative ("on") — a true win would
+need bf16 distance tiles (half the traffic, double the MXU rate),
+which the correspondence tolerances of SLAM do not currently permit.
 
-Layout notes: source points are packed (B, 8) = [x, y, z, valid, 0...]
-(the valid flag doubles as the mask — masked rows produce w = 0);
-target points/normals are (M, 8) with zero padding so the contraction
-dims align to the 8-sublane tile.
+Use ``pack_source``/``pack_target`` once per ICP solve and call
+``gn_system_packed`` inside the iteration loop: the packing (padding,
+|t|^2 precompute, mask parking) is loop-invariant and doing it per
+iteration was measured to cost more than the kernel itself at the
+odometry shapes (4096 x 8192). ``gn_system_pallas`` keeps the original
+unpacked per-call API for tests and one-shot callers.
+
+Correspondences can differ from the oracle on exact distance ties
+(both are true nearest neighbors; cross-chunk ties resolve to the
+lower chunk).
+
+Layout notes: source points are packed (B, 8) = [x, y, z, -0.5, valid,
+0...] (the valid flag doubles as the mask — masked rows produce w = 0;
+the -0.5 column multiplies the target's |t|^2 column inside the
+distance contraction d2 = |p|^2 - 2 (p.t - 0.5 |t|^2)); target
+points/normals are (M, 8) with zero padding so the contraction dims
+align to the 8-sublane tile. Masked targets are parked at 1e6 so they
+never win the argmin.
 """
 
 from __future__ import annotations
@@ -43,7 +70,8 @@ from jax.experimental.pallas import tpu as pltpu
 from perception_tpu.ops.pallas import interpret_mode
 
 
-def _kernel(scalars_ref, src_ref, tgtd_ref, tn_ref, out_ref, stats_ref):
+def _kernel(scalars_ref, src_ref, tgtd_ref, tn_ref, out_ref, stats_ref,
+            *, tchunk: int):
     nb = pl.program_id(1)
 
     @pl.when(nb == 0)
@@ -51,52 +79,80 @@ def _kernel(scalars_ref, src_ref, tgtd_ref, tn_ref, out_ref, stats_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
         stats_ref[:] = jnp.zeros_like(stats_ref)
 
-    max_d2 = scalars_ref[0]
-    huber = scalars_ref[1]
+    sc = scalars_ref  # (1, 16) SMEM row for this restart
+    max_d2 = sc[0, 0]
+    huber = sc[0, 1]
 
     src = src_ref[0]      # (B, 8): x, y, z, -0.5, valid, 0...
-    tgtd = tgtd_ref[:]    # (M, 8): x, y, z, |t|^2, 0...
-    tn = tn_ref[:]        # (M, 8): x, y, z, nx, ny, nz, 0, 0
 
-    # Distances via ONE contraction: src.tgtd = p.t - 0.5|t|^2 (the
-    # -0.5 source pad column multiplies the |t|^2 target column), so
-    # d2 = |p|^2 - 2 src.tgtd. |t|^2 is precomputed host-side once per
-    # call instead of per grid step.
-    p_sq = (
-        src[:, 0] * src[:, 0] + src[:, 1] * src[:, 1] + src[:, 2] * src[:, 2]
-    )                                                          # (B,)
-    half = jax.lax.dot_general(
-        src, tgtd, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, M)
-    d2 = p_sq[:, None] - 2.0 * half
-
-    best = jnp.argmin(d2, axis=1)                              # (B,)
-    dmin = jnp.min(d2, axis=1)
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) == best[:, None]
-    ).astype(jnp.float32)
-    # Point + normal gathered in ONE narrow matmul (round 1 used two
-    # full-width one-hot contractions — 2x the gather FLOPs).
-    qn = jax.lax.dot_general(
-        onehot, tn, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, 8): qx qy qz nx ny nz 0 0
-
+    # SE(3) transform in-registers: p' = R p + t (12 SMEM scalars).
+    x0, y0, z0 = src[:, 0], src[:, 1], src[:, 2]
+    x = sc[0, 2] * x0 + sc[0, 3] * y0 + sc[0, 4] * z0 + sc[0, 11]
+    y = sc[0, 5] * x0 + sc[0, 6] * y0 + sc[0, 7] * z0 + sc[0, 12]
+    z = sc[0, 8] * x0 + sc[0, 9] * y0 + sc[0, 10] * z0 + sc[0, 13]
     valid = src[:, 4]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, src.shape, 1)
+    srcq = (
+        jnp.where(col == 0, x[:, None], 0.0)
+        + jnp.where(col == 1, y[:, None], 0.0)
+        + jnp.where(col == 2, z[:, None], 0.0)
+        + jnp.where(col == 3, -0.5, 0.0)
+    )                                                          # (B, 8)
+    p_sq = x * x + y * y + z * z                               # (B,)
+
+    # Chunked correspondence search: running (dmin, best qn) over
+    # target tiles of tchunk rows — VMEM holds one (B, tchunk)
+    # distance tile at a time instead of (B, M).
+    mp = tgtd_ref.shape[0]
+    n_chunks = mp // tchunk
+
+    def chunk_step(c, carry):
+        dmin, qn = carry
+        base = pl.multiple_of(c * tchunk, tchunk)
+        tgtd = tgtd_ref[pl.ds(base, tchunk)]                   # (tc, 8)
+        tn = tn_ref[pl.ds(base, tchunk)]                       # (tc, 8)
+        half = jax.lax.dot_general(
+            srcq, tgtd, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, tc)
+        d2 = p_sq[:, None] - 2.0 * half
+        best = jnp.argmin(d2, axis=1)                          # (B,)
+        cmin = jnp.min(d2, axis=1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) == best[:, None]
+        ).astype(jnp.float32)
+        # Point + normal gathered in ONE narrow matmul.
+        qn_c = jax.lax.dot_general(
+            onehot, tn, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, 8): qx qy qz nx ny nz 0 0
+        upd = cmin < dmin
+        return (
+            jnp.where(upd, cmin, dmin),
+            jnp.where(upd[:, None], qn_c, qn),
+        )
+
+    init = (jnp.full(srcq.shape[:1], jnp.inf, jnp.float32),
+            jnp.zeros(srcq.shape, jnp.float32))
+    if n_chunks == 1:
+        dmin, qn = chunk_step(0, init)
+    else:
+        dmin, qn = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+
     gate = jnp.where((dmin <= max_d2) & (valid > 0.5), 1.0, 0.0)
 
-    dx = src[:, 0] - qn[:, 0]
-    dy = src[:, 1] - qn[:, 1]
-    dz = src[:, 2] - qn[:, 2]
+    dx = x - qn[:, 0]
+    dy = y - qn[:, 1]
+    dz = z - qn[:, 2]
     n0, n1, n2 = qn[:, 3], qn[:, 4], qn[:, 5]
     r = n0 * dx + n1 * dy + n2 * dz                            # (B,)
     absr = jnp.abs(r)
     w = gate * jnp.where(absr <= huber, 1.0, huber / jnp.maximum(absr, 1e-12))
 
-    cx = src[:, 1] * n2 - src[:, 2] * n1
-    cy = src[:, 2] * n0 - src[:, 0] * n2
-    cz = src[:, 0] * n1 - src[:, 1] * n0
+    cx = y * n2 - z * n1
+    cy = z * n0 - x * n2
+    cz = x * n1 - y * n0
 
     ones = jnp.ones_like(r)
     jhat = jnp.stack([n0, n1, n2, cx, cy, cz, r, ones], axis=1)  # (B, 8)
@@ -124,58 +180,80 @@ def _kernel(scalars_ref, src_ref, tgtd_ref, tn_ref, out_ref, stats_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block", "return_stats"))
-def gn_system_pallas(
-    src_t: jax.Array,       # (R, N, 3) transformed source points (per restart)
-    src_mask: jax.Array,    # (R, N)
-    target: jax.Array,      # (M, 3)
-    target_normals: jax.Array,  # (M, 3)
-    target_mask: jax.Array,     # (M,)
-    max_correspondence_distance: float,
-    huber_delta: float,
-    block: int = 512,
-    return_stats: bool = False,
-):
-    """Returns (R, 8, 8) fused normal-equation systems (see module doc).
+def pack_source(src: jax.Array, src_mask: jax.Array, block: int = 512):
+    """(R, N, 3) points + (R, N) mask -> (R, Np, 8) kernel layout.
 
-    With ``return_stats=True`` also returns (R, 2) correspondence stats
-    [gate count, gated sum of squared NN distances] so callers can form
-    overlap and PCL-fitness diagnostics without a second pass."""
-    R, N, _ = src_t.shape
-    M = target.shape[0]
-
+    Loop-invariant for an ICP solve: pack once, then iterate via
+    ``gn_system_packed`` with only the pose changing.
+    """
+    R, N, _ = src.shape
     n_pad = (-N) % block
-    minus_half = jnp.full((R, N, 1), -0.5, src_t.dtype)
+    minus_half = jnp.full((R, N, 1), -0.5, src.dtype)
     src8 = jnp.concatenate(
-        [src_t, minus_half, src_mask[..., None].astype(src_t.dtype),
-         jnp.zeros((R, N, 3), src_t.dtype)],
+        [src, minus_half, src_mask[..., None].astype(src.dtype),
+         jnp.zeros((R, N, 3), src.dtype)],
         axis=-1,
     )
-    src8 = jnp.pad(src8, ((0, 0), (0, n_pad), (0, 0)))
+    return jnp.pad(src8, ((0, 0), (0, n_pad), (0, 0)))
 
-    # Park masked targets far away so they never win the argmin.
+
+def pack_target(target: jax.Array, target_normals: jax.Array,
+                target_mask: jax.Array, tchunk: int = 1024):
+    """(M, 3) target + normals + mask -> (tgtd, tn) kernel layout.
+
+    tgtd = [x, y, z, |t|^2, 0...]; tn = [x, y, z, nx, ny, nz, 0, 0];
+    both padded to a multiple of ``tchunk`` with masked/padded rows
+    parked at 1e6 so they never win the argmin.
+    """
+    M = target.shape[0]
     tgt = jnp.where(target_mask[:, None], target, 1.0e6)
-    m_pad = (-M) % 128
+    m_pad = (-M) % tchunk
     tgt_p = jnp.pad(tgt, ((0, m_pad), (0, 0)), constant_values=1.0e6)
     t_sq = jnp.sum(tgt_p * tgt_p, axis=1, keepdims=True)   # (Mp, 1)
     tgtd = jnp.concatenate(
-        [tgt_p, t_sq, jnp.zeros((M + m_pad, 4), src_t.dtype)], axis=1
+        [tgt_p, t_sq, jnp.zeros((M + m_pad, 4), target.dtype)], axis=1
     )
     nrm_p = jnp.pad(target_normals, ((0, m_pad), (0, 0)))
     tn = jnp.concatenate(
-        [tgt_p, nrm_p, jnp.zeros((M + m_pad, 2), src_t.dtype)], axis=1
+        [tgt_p, nrm_p, jnp.zeros((M + m_pad, 2), target.dtype)], axis=1
     )
+    return tgtd, tn
 
-    scalars = jnp.asarray(
-        [max_correspondence_distance**2, huber_delta], jnp.float32
-    )
 
-    grid = (R, (N + n_pad) // block)
+@functools.partial(jax.jit, static_argnames=("block", "tchunk", "return_stats"))
+def gn_system_packed(
+    src8: jax.Array,        # (R, Np, 8) from pack_source
+    tgtd: jax.Array,        # (Mp, 8) from pack_target
+    tn: jax.Array,          # (Mp, 8) from pack_target
+    Ts: jax.Array,          # (R, 4, 4) per-restart SE(3) poses
+    max_correspondence_distance: float,
+    huber_delta: float,
+    block: int = 512,
+    tchunk: int = 1024,
+    return_stats: bool = False,
+):
+    """Fused GN systems from pre-packed operands (see module doc).
+
+    Returns (R, 8, 8); with ``return_stats=True`` also (R, 2) stats
+    [gate count, gated sum of squared NN distances]. The poses ride in
+    SMEM: iterating ICP costs 16 scalars of traffic per restart per
+    iteration, nothing O(N) or O(M).
+    """
+    R, Np, _ = src8.shape
+    md2 = jnp.full((R, 1), max_correspondence_distance**2, jnp.float32)
+    hub = jnp.full((R, 1), huber_delta, jnp.float32)
+    scalars = jnp.concatenate(
+        [md2, hub, Ts[:, :3, :3].reshape(R, 9), Ts[:, :3, 3],
+         jnp.zeros((R, 2), jnp.float32)],
+        axis=1,
+    )                                                          # (R, 16)
+
+    grid = (R, Np // block)
     out, stats = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tchunk=tchunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16), lambda r, nb: (r, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block, 8), lambda r, nb: (r, nb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -188,11 +266,47 @@ def gn_system_pallas(
             jax.ShapeDtypeStruct((R, 8, 8), jnp.float32),
             jax.ShapeDtypeStruct((R, 8, 8), jnp.float32),
         ),
+        # Default scoped-VMEM budget is 16 MB; when XLA hands the kernel
+        # constant-folded operands it stages them on the scoped stack,
+        # which needs more headroom at dense shapes (observed 32.5 MB at
+        # 8192 x 32768). v5e has 128 MB VMEM/core; 64 MB keeps double
+        # buffering while making the kernel layout-robust.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret_mode(),
     )(scalars, src8, tgtd, tn)
     if return_stats:
         return out, stats[:, 0, :2]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("block", "return_stats"))
+def gn_system_pallas(
+    src_t: jax.Array,       # (R, N, 3) transformed source points (per restart)
+    src_mask: jax.Array,    # (R, N)
+    target: jax.Array,      # (M, 3)
+    target_normals: jax.Array,  # (M, 3)
+    target_mask: jax.Array,     # (M,)
+    max_correspondence_distance: float,
+    huber_delta: float,
+    block: int = 512,
+    return_stats: bool = False,
+):
+    """One-shot API: packs operands and runs with identity poses.
+
+    Iterating callers should ``pack_source``/``pack_target`` once and
+    loop over ``gn_system_packed`` instead — the packing here is
+    loop-invariant overhead.
+    """
+    R = src_t.shape[0]
+    src8 = pack_source(src_t, src_mask, block=block)
+    tgtd, tn = pack_target(target, target_normals, target_mask)
+    Ts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (R, 4, 4))
+    return gn_system_packed(
+        src8, tgtd, tn, Ts, max_correspondence_distance, huber_delta,
+        block=block, return_stats=return_stats,
+    )
 
 
 def gn_system_oracle(src_t, src_mask, target, target_normals, target_mask,
