@@ -42,7 +42,8 @@ def render_textured_room(camera, T_wc, noise=0.0005, seed=0):
         z = t * rays_c[..., 2]
         closer = z < depth
         depth = np.where(closer, z, depth)
-        pw = o + t[..., None] * d
+        with np.errstate(invalid="ignore"):  # inf * 0 on miss rays
+            pw = o + t[..., None] * d
         world = np.where(closer[..., None], pw, world)
 
     # World-anchored texture: intensity from a hash of 12 cm cells.
