@@ -234,3 +234,19 @@ def normalize_landmarks(landmarks: jax.Array, lm_mask: jax.Array) -> jax.Array:
     d = landmarks - c
     scale = jnp.sqrt(jnp.sum(d * d * w) / jnp.maximum(jnp.sum(w), 1))
     return d / jnp.maximum(scale, 1e-6)
+
+
+def au_gated_pose_mask(
+    intensities: jax.Array,
+    au_name: str = "AU02",
+    threshold: float = 2.0,
+) -> jax.Array:
+    """Per-face publish gate on an action-unit intensity.
+
+    The reference emits the head ``PoseStamped`` only while the brow
+    raiser fires: AU02 intensity > 2.0
+    (``openface2_ros/src/openface2_ros.cpp:467-476``). ``intensities``
+    is (..., len(AU_NAMES)) from ``ActionUnitHead``; returns a (...)
+    bool mask — True where the pose should be emitted.
+    """
+    return intensities[..., AU_NAMES.index(au_name)] > threshold

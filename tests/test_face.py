@@ -109,3 +109,18 @@ def test_normalize_landmarks_invariance():
     n1 = normalize_landmarks(jnp.asarray(lms), jnp.asarray(mask))
     n2 = normalize_landmarks(jnp.asarray(lms * 3.0 + 50.0), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=1e-5)
+
+
+def test_au_gated_pose_mask():
+    # Reference semantics (openface2_ros.cpp:467-476): pose published
+    # only when AU02 (brow raiser) intensity > 2.0.
+    from perception_tpu.models.face import au_gated_pose_mask
+
+    i = np.zeros((3, len(AU_NAMES)), np.float32)
+    au02 = AU_NAMES.index("AU02")
+    i[0, au02] = 2.5
+    i[1, au02] = 2.0   # boundary: strict >
+    i[2, au02] = 0.1
+    i[2, 0] = 5.0      # other AUs never gate
+    mask = np.asarray(au_gated_pose_mask(jnp.asarray(i)))
+    assert mask.tolist() == [True, False, False]
