@@ -24,7 +24,7 @@ Both are pure jitted functions: (state) -> (state), vmap/shard-ready
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,15 @@ class BAProblem(NamedTuple):
     obs_lm: jax.Array      # (O,) int32 landmark index
     obs_uv: jax.Array      # (O, 2) measured pixels
     obs_mask: jax.Array    # (O,) valid
+    # Optional RGB-D depth channel (None = pure reprojection). A
+    # two-view reprojection-only window has an unconstrained scale
+    # gauge (poses and landmarks slide along the baseline together —
+    # measured: a cost drop 0.13->0.03 px^2 while the pose moved 5 cm
+    # off truth); the depth residual zw*(z_pred - z_meas) pins it,
+    # the same role as ORB-SLAM2's virtual right-disparity residual.
+    obs_z: Optional[jax.Array] = None   # (O,) measured depth (m)
+    obs_zw: Optional[jax.Array] = None  # (O,) depth-residual weight
+                                        # (px-per-m scale, 0 = no depth)
 
 
 class BAResult(NamedTuple):
@@ -48,8 +57,13 @@ class BAResult(NamedTuple):
     final_cost: jax.Array
 
 
-def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy, cx, cy):
-    """Residuals (O, 2) + camera-frame points (O, 3) + per-obs R_cw."""
+def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask,
+                    fx, fy, cx, cy, obs_z=None, obs_zw=None):
+    """Residuals + camera-frame points (O, 3) + per-obs R_cw.
+
+    Residuals are (O, 2) for pure reprojection or (O, 3) with the
+    weighted depth row appended when ``obs_z``/``obs_zw`` are given.
+    """
     R = T_cw[obs_pose, :3, :3]          # (O, 3, 3)
     t = T_cw[obs_pose, :3, 3]           # (O, 3)
     X = landmarks[obs_lm]               # (O, 3)
@@ -58,12 +72,16 @@ def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy,
     u = fx * pc[:, 0] / z + cx
     v = fy * pc[:, 1] / z + cy
     r = jnp.stack([u, v], axis=-1) - obs_uv
+    if obs_z is not None:
+        rz = obs_zw * (pc[:, 2] - obs_z)
+        r = jnp.concatenate([r, rz[:, None]], axis=-1)
     r = jnp.where(obs_mask[:, None] & (pc[:, 2:3] > 1e-3), r, 0.0)
     return r, pc, R
 
 
 def ba_blocks(T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask,
-              fx, fy, cx, cy, M: int, L: int, huber_px: float):
+              fx, fy, cx, cy, M: int, L: int, huber_px: float,
+              obs_z=None, obs_zw=None):
     """Per-iteration normal-equation blocks from a set of observations.
 
     Returns (Hpp (M,6,6), Hll (L,3,3), U (L,M,6,3), bp (M,6), bl (L,3)).
@@ -72,17 +90,19 @@ def ba_blocks(T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask,
     Schur-complement reduction of the north star.
     """
     r, pc, Rcw = _proj_residuals(
-        T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy, cx, cy
+        T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy, cx, cy,
+        obs_z, obs_zw,
     )
     z = jnp.maximum(pc[:, 2], 1e-6)
     zero = jnp.zeros_like(z)
-    Jproj = jnp.stack(
-        [
-            jnp.stack([fx / z, zero, -fx * pc[:, 0] / (z * z)], axis=-1),
-            jnp.stack([zero, fy / z, -fy * pc[:, 1] / (z * z)], axis=-1),
-        ],
-        axis=-2,
-    )
+    rows = [
+        jnp.stack([fx / z, zero, -fx * pc[:, 0] / (z * z)], axis=-1),
+        jnp.stack([zero, fy / z, -fy * pc[:, 1] / (z * z)], axis=-1),
+    ]
+    if obs_z is not None:
+        # d r_z / d pc = [0, 0, zw] (zw is constant per observation).
+        rows.append(jnp.stack([zero, zero, obs_zw], axis=-1))
+    Jproj = jnp.stack(rows, axis=-2)
     # Pose block: left-mult update T_cw <- exp(xi) T_cw, so
     # d pc/d xi = [I | -hat(pc)] (3, 6).
     I3 = jnp.broadcast_to(jnp.eye(3), (r.shape[0], 3, 3))
@@ -161,7 +181,7 @@ def bundle_adjust(
     def cost(T_cw, lms):
         r, _, _ = _proj_residuals(
             T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
-            problem.obs_mask, fx, fy, cx, cy,
+            problem.obs_mask, fx, fy, cx, cy, problem.obs_z, problem.obs_zw,
         )
         n = jnp.maximum(jnp.sum(problem.obs_mask), 1)
         return jnp.sum(r * r) / n
@@ -171,6 +191,7 @@ def bundle_adjust(
         Hpp, Hll, U, bp, bl = ba_blocks(
             T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
             problem.obs_mask, fx, fy, cx, cy, M, L, huber_px,
+            problem.obs_z, problem.obs_zw,
         )
 
         dxi, dX, _ = ba_schur_solve(Hpp, Hll, U, bp, bl, lam, M, L)
@@ -178,10 +199,12 @@ def bundle_adjust(
         T_new = se3.se3_exp(dxi) @ T_cw
         lms_new = lms + dX
 
-        # Accept/reject (LM): keep the step only if the cost decreased.
+        # Accept/reject (LM): keep the step only if the cost decreased
+        # AND stayed finite (a near-singular reduced solve must never
+        # poison the long-lived SLAM state).
         c_old = cost(T_cw, lms)
         c_new = cost(T_new, lms_new)
-        better = c_new < c_old
+        better = (c_new < c_old) & jnp.isfinite(c_new)
         T_out = jnp.where(better, T_new, T_cw)
         lms_out = jnp.where(better, lms_new, lms)
         lam_out = jnp.where(better, lam * 0.5, lam * 4.0)

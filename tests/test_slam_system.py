@@ -248,7 +248,11 @@ def test_in_step_correction_matches_host_mode():
     camera = cam()
     gt = out_and_back_trajectory(n=20, radius=0.5)
     grays, depths = make_seq(camera, gt)
-    cfg_fused = slam_cfg()
+    # BA off: the two modes apply the pose-graph correction at different
+    # points relative to the in-step BA (fused: before BA; host: a frame
+    # after it), so exact-parity only holds for the correction machinery
+    # itself. BA-vs-correction interplay is covered by test_local_ba_*.
+    cfg_fused = dataclasses.replace(slam_cfg(), enable_ba=False)
     assert cfg_fused.correct_in_step
     cfg_host = dataclasses.replace(cfg_fused, correct_in_step=False)
 
