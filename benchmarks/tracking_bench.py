@@ -1,0 +1,132 @@
+"""Driver-visible streaming multi-cuboid tracking benchmark
+(BASELINE.json config #2; VERDICT r2 item 4).
+
+Replays a >=300-frame synthetic bag (three cuboids on a table, moving
+camera — benchmarks/tracking_scene.py) through the streaming tracker
+(models/object_tracking.py) and reports:
+
+  tracking_fps     steady-state full-pipeline frames/s (excl. render)
+  median_err_cm    median translation error of latched slots vs GT
+  latched_pct      fraction of (frame, slot) pairs latched
+  warm_pct         fraction of latched updates carried by the warm row
+
+Run: python -m benchmarks.tracking_bench
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from perception_tpu.geometry.camera import PinholeCamera
+    from perception_tpu.io.templates import cuboid_template
+    from perception_tpu.models.objects import ObjectConfig
+    from perception_tpu.models.object_tracking import (
+        TrackingConfig,
+        init_tracks,
+        track_step_from_depth,
+    )
+    from benchmarks.tracking_scene import (
+        CUBOID_SET,
+        camera_trajectory,
+        render_depth_cuboids,
+    )
+
+    fx = 384.0 * width / 640.0
+    camera = PinholeCamera.from_K(
+        [fx, 0, width / 2, 0, fx, height / 2, 0, 0, 1],
+        width=width, height=height,
+    )
+    K = len(CUBOID_SET)
+    tmpls = [cuboid_template(*dims, density=0.004) for dims, _ in CUBOID_SET]
+    Nt = max(len(t) for t in tmpls)
+    templates = np.zeros((K, Nt, 3), np.float32)
+    tmasks = np.zeros((K, Nt), bool)
+    for k, t in enumerate(tmpls):
+        templates[k, : len(t)] = t
+        tmasks[k, : len(t)] = True
+    templates = jnp.asarray(templates)
+    tmasks = jnp.asarray(tmasks)
+
+    cfg = TrackingConfig(
+        detection=ObjectConfig(
+            table_z_cut=0.9,
+            z_limits=(0.0, 0.9),
+            x_limits=(-0.35, 0.35),
+        ),
+        max_tracks=K,
+    )
+
+    traj = camera_trajectory(frames)
+    rendered = []
+    gts = []
+    for i, Twc in enumerate(traj):
+        depth, gt = render_depth_cuboids(camera, Twc, seed=i)
+        rendered.append(depth)
+        gts.append(gt)
+
+    slots = init_tracks(cfg)
+    key = jax.random.key(0)
+    key, sub = jax.random.split(key)
+    warm, _ = track_step_from_depth(
+        slots, jnp.asarray(rendered[0]), camera, templates, tmasks, sub, cfg
+    )
+    jax.block_until_ready(warm)
+
+    dj = [jnp.asarray(d) for d in rendered]
+    jax.block_until_ready(dj[-1])
+
+    slots = init_tracks(cfg)
+    key = jax.random.key(0)
+    hist = []
+    t0 = time.perf_counter()
+    for d in dj:
+        key, sub = jax.random.split(key)
+        slots, diag = track_step_from_depth(
+            slots, d, camera, templates, tmasks, sub, cfg
+        )
+        hist.append((slots.pose, slots.latched, diag.used_warm))
+    jax.block_until_ready(slots)
+    dt = time.perf_counter() - t0
+
+    errs = []
+    latched_n = 0
+    warm_n = 0
+    upd_n = 0
+    for (pose, latched, used_warm), gt in zip(hist, gts):
+        pose = np.asarray(pose)
+        lat = np.asarray(latched)
+        uw = np.asarray(used_warm)
+        for k in range(K):
+            if lat[k]:
+                latched_n += 1
+                errs.append(np.linalg.norm(pose[k][:3, 3] - gt[k][:3, 3]))
+            warm_n += int(uw[k])
+            upd_n += 1
+    errs = np.asarray(errs)
+
+    return {
+        "tracking_fps": frames / dt,
+        "median_err_cm": float(np.median(errs) * 100.0) if len(errs) else float("nan"),
+        "p90_err_cm": float(np.percentile(errs, 90) * 100.0) if len(errs) else float("nan"),
+        "latched_pct": 100.0 * latched_n / max(upd_n, 1),
+        "warm_pct": 100.0 * warm_n / max(latched_n, 1),
+        "frames": frames,
+        "objects": K,
+        "resolution": f"{width}x{height}",
+    }
+
+
+def main() -> None:
+    out = run()
+    for k, v in out.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
