@@ -30,7 +30,13 @@ def time_fn(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
-def main() -> None:
+DEFAULT_SIZES = [(1024, 2048), (4096, 8192), (4096, 32768),
+                 (4096, 131072), (16384, 131072), (307200, 32768)]
+
+
+def measure(sizes=None) -> list:
+    """Measured brute-vs-hash table; each row is a dict (recorded into
+    the driver bench extra — VERDICT r2 item 2)."""
     import jax
     import jax.numpy as jnp
 
@@ -39,11 +45,8 @@ def main() -> None:
 
     rng = np.random.RandomState(0)
     radius = 0.06
-
-    print(f"{'Nq':>8} {'M':>8} {'brute ms':>10} {'hash ms':>10} "
-          f"{'hash/brute':>11} {'agree %':>8}")
-    for nq, m in [(1024, 2048), (4096, 8192), (4096, 32768),
-                  (4096, 131072), (16384, 131072), (307200, 32768)]:
+    rows = []
+    for nq, m in sizes or DEFAULT_SIZES:
         # Surface-like cloud (2-D manifold in 3-D) — realistic density.
         ref = rng.randn(m, 3).astype(np.float32)
         ref[:, 2] = 0.2 * np.sin(ref[:, 0] * 3) * np.cos(ref[:, 1] * 3)
@@ -65,8 +68,23 @@ def main() -> None:
         agree = np.mean(
             np.isclose(np.asarray(hd)[in_range], np.asarray(bd)[in_range], atol=1e-5)
         )
-        print(f"{nq:>8} {m:>8} {t_brute:>10.3f} {t_hash:>10.3f} "
-              f"{t_hash / t_brute:>11.2f} {agree * 100:>7.1f}%")
+        rows.append({
+            "nq": nq, "m": m,
+            "brute_ms": round(t_brute, 3), "hash_ms": round(t_hash, 3),
+            "hash_over_brute": round(t_hash / t_brute, 3),
+            "agree_pct": round(float(agree) * 100, 1),
+        })
+    return rows
+
+
+def main() -> None:
+    rows = measure()
+    print(f"{'Nq':>8} {'M':>8} {'brute ms':>10} {'hash ms':>10} "
+          f"{'hash/brute':>11} {'agree %':>8}")
+    for r in rows:
+        print(f"{r['nq']:>8} {r['m']:>8} {r['brute_ms']:>10.3f} "
+              f"{r['hash_ms']:>10.3f} {r['hash_over_brute']:>11.2f} "
+              f"{r['agree_pct']:>7.1f}%")
 
 
 if __name__ == "__main__":

@@ -1,13 +1,21 @@
 """Driver-visible SLAM benchmark: ATE + throughput over a long revisit
 trajectory (VERDICT r1 item 1; BASELINE.md "ATE within bound").
 
-Runs the full keyframe SLAM system (dense ICP odometry + loop closure +
-pose-graph correction) over a >=300-frame synthetic textured-room sweep
-with multiple revisits, and reports:
+Runs the full keyframe SLAM system (dense ICP odometry + landmark
+tracks + sliding-window local BA + loop closure + pose-graph
+correction) over a >=300-frame synthetic textured-room sweep with
+multiple revisits, and reports:
 
   ate_cm         RMSE absolute trajectory error vs ground truth (cm)
   slam_fps       full-system frames/s (steady state, excludes render)
   loop_closures  verified loop-closure edges live at the end
+  ba_runs        sliding-window bundle-adjust invocations (VERDICT r2
+                 item 1: the BA path must fire on the sweep)
+
+Three configurations are benchmarked by bench.py: keyframe mode with
+BA (the flagship config #4), keyframe mode without BA (the ablation
+VERDICT r2 asks for), and dense map-fusion mode at map_budget >= 32768
+(the voxel-hash NN regime — VERDICT r2 item 2).
 
 Run: python -m benchmarks.slam_bench
 """
@@ -16,14 +24,39 @@ from __future__ import annotations
 
 import time
 
+_RENDER_CACHE: dict = {}
 
-def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
+
+def rendered_sequence(frames: int, width: int, height: int):
+    """(camera, gt, grays, depths) — cached so the three bench configs
+    share one host-side render pass."""
+    key = (frames, width, height)
+    if key not in _RENDER_CACHE:
+        from benchmarks.slam_scene import render_sequence, sweep_trajectory
+        from perception_tpu.geometry.camera import PinholeCamera
+
+        fx = 307.0 * width / 320.0
+        camera = PinholeCamera.from_K(
+            [fx, 0, width / 2, 0, fx, height / 2, 0, 0, 1],
+            width=width, height=height,
+        )
+        gt = sweep_trajectory(n=frames)
+        grays, depths = render_sequence(camera, gt)
+        _RENDER_CACHE[key] = (camera, gt, grays, depths)
+    return _RENDER_CACHE[key]
+
+
+def run(
+    frames: int = 300,
+    width: int = 640,
+    height: int = 480,
+    enable_ba: bool = True,
+    map_budget: int = 0,
+) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from benchmarks.slam_scene import render_sequence, sweep_trajectory
-    from perception_tpu.geometry.camera import PinholeCamera
     from perception_tpu.models.slam.odometry import OdometryConfig
     from perception_tpu.models.slam.system import (
         SlamConfig,
@@ -32,12 +65,7 @@ def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
     )
     from perception_tpu.utils.metrics import ate
 
-    fx = 307.0 * width / 320.0
-    camera = PinholeCamera.from_K(
-        [fx, 0, width / 2, 0, fx, height / 2, 0, 0, 1], width=width, height=height
-    )
-    gt = sweep_trajectory(n=frames)
-    grays, depths = render_sequence(camera, gt)
+    camera, gt, grays, depths = rendered_sequence(frames, width, height)
 
     cfg = SlamConfig(
         odometry=OdometryConfig(
@@ -49,6 +77,7 @@ def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
             normal_max_edge=0.1,
             kf_translation=0.10,
             kf_rotation=0.12,
+            map_budget=map_budget,
         ),
         max_keyframes=64,
         max_edges=192,
@@ -57,6 +86,7 @@ def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
         lc_min_gap=3,
         lc_min_matches=20,
         lc_min_inliers=10,
+        enable_ba=enable_ba,
     )
 
     d0 = jnp.asarray(depths[0])
@@ -76,10 +106,11 @@ def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
     gj = [jnp.asarray(g) for g in grays]
     jax.block_until_ready(dj[-1])
 
-    # Pure async dispatch: corrections run on-device inside slam_step
-    # (cfg.correct_in_step), so the timed loop never syncs on a flag.
+    # Pure async dispatch: corrections and BA run on-device inside
+    # slam_step (lax.cond), so the timed loop never syncs on a flag.
     poses = [np.eye(4)]
     flags = []
+    ba_flags = []
     key = jax.random.key(0)
     t0 = time.perf_counter()
     for d, g in zip(dj[1:], gj[1:]):
@@ -87,9 +118,11 @@ def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
         state, diag = slam_step(state, d, g, camera, sub, cfg)
         poses.append(state.odom.pose)
         flags.append(state.loop_found)
+        ba_flags.append(diag.ba_ran)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     n_corrections = int(jnp.sum(jnp.stack(flags)))
+    n_ba = int(jnp.sum(jnp.stack(ba_flags)))
 
     est = np.stack([np.asarray(p) for p in poses])
     gtp = np.stack([np.asarray(T) for T in gt])
@@ -104,16 +137,26 @@ def run(frames: int = 300, width: int = 640, height: int = 480) -> dict:
         "slam_fps": (frames - 1) / dt,
         "loop_closures": loop_edges,
         "pose_graph_corrections": n_corrections,
+        "ba_runs": n_ba,
+        "landmarks": int(jnp.sum(state.landmarks.mask)),
+        "observations": int(jnp.sum(state.obs.mask)),
         "frames": frames,
         "keyframes": int(state.keyframes.count),
         "resolution": f"{width}x{height}",
+        "map_budget": map_budget,
     }
 
 
 def main() -> None:
-    out = run()
-    for k, v in out.items():
-        print(f"{k}: {v}")
+    for label, kwargs in (
+        ("keyframe+BA", dict(enable_ba=True)),
+        ("keyframe, no BA", dict(enable_ba=False)),
+        ("map-fusion 32k", dict(enable_ba=True, map_budget=32768)),
+    ):
+        out = run(**kwargs)
+        print(f"--- {label} ---")
+        for k, v in out.items():
+            print(f"{k}: {v}")
 
 
 if __name__ == "__main__":
