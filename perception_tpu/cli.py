@@ -119,13 +119,13 @@ def cmd_objects(args) -> None:
 def cmd_odometry(args) -> None:
     import jax.numpy as jnp
 
-    from perception_tpu.io.tum import TumSequence, tum_camera, write_trajectory
+    from perception_tpu.io.tum import TumSequence, sequence_camera, write_trajectory
     from perception_tpu.models.slam.odometry import OdometryConfig, init_state, odometry_step
     from perception_tpu.utils.metrics import ate
     from perception_tpu.utils.profiler import MetricsLog
 
     seq = TumSequence(args.tum, with_rgb=False)
-    camera = tum_camera(args.freiburg)
+    camera = sequence_camera(args.tum, args.freiburg)
     cfg = OdometryConfig()
     log = MetricsLog()
 
@@ -165,17 +165,19 @@ def cmd_slam(args) -> None:
 
     import jax.numpy as jnp
 
-    from perception_tpu.io.tum import TumSequence, tum_camera, write_trajectory
+    from perception_tpu.io.tum import TumSequence, sequence_camera, write_trajectory
     from perception_tpu.models.slam.system import SlamConfig, run_slam
     from perception_tpu.utils.metrics import ate
 
     seq = TumSequence(args.tum, with_rgb=True)
-    camera = tum_camera(args.freiburg)
+    camera = sequence_camera(args.tum, args.freiburg)
     idxs = list(range(0, min(len(seq), args.max_frames), args.stride))
     frames = [seq.frame(i) for i in idxs]
     depths = [np.nan_to_num(f.depth) for f in frames]
+    # Keep gray on the 0-255 scale: SlamConfig.fast_threshold (FAST
+    # corner contrast) is calibrated for 8-bit intensities.
     grays = [
-        f.rgb.mean(-1).astype(np.float32) / 255.0
+        f.rgb.mean(-1).astype(np.float32)
         if f.rgb is not None else np.zeros_like(depths[0])
         for f in frames
     ]

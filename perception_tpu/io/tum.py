@@ -35,6 +35,25 @@ def tum_camera(freiburg: int = 1) -> PinholeCamera:
     return PinholeCamera.from_K([fx, 0, cx, 0, fy, cy, 0, 0, 1], width=640, height=480)
 
 
+def sequence_camera(root, freiburg: int = 1) -> PinholeCamera:
+    """Camera for a sequence directory: an optional ``calibration.txt``
+    (one line: ``fx fy cx cy width height``) overrides the standard
+    Freiburg intrinsics — the TUM format itself carries no intrinsics,
+    and the in-repo mini fixture (tests/fixtures/tum_mini) is rendered
+    at reduced resolution."""
+    calib = Path(root) / "calibration.txt"
+    if calib.exists():
+        for line in calib.read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fx, fy, cx, cy, w, h = (float(v) for v in line.split()[:6])
+            return PinholeCamera.from_K(
+                [fx, 0, cx, 0, fy, cy, 0, 0, 1], width=int(w), height=int(h)
+            )
+    return tum_camera(freiburg)
+
+
 def read_file_list(path: Path) -> List[Tuple[float, List[str]]]:
     out = []
     for line in Path(path).read_text().splitlines():
