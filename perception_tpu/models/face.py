@@ -150,11 +150,17 @@ def head_pose_pnp(
     w = lm_mask[ids].astype(jnp.float32)
     X = jnp.asarray(PNP_MODEL_POINTS)
 
-    # Init: face ~0.6 m in front, centered on the observed points.
+    # Init: face ~0.6 m in front, centered on the observed points. GN
+    # is raced from BOTH orientation hypotheses — identity and the
+    # y-flip (subject facing the camera): the 6-point model is
+    # near-planar enough that gradient descent from the wrong side
+    # converges to the mirror solution, which projects almost as well
+    # but reverses the head's forward axis (and with it every gaze ray).
     z0 = 0.6
     mean_uv = jnp.sum(uv * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1)
     t0 = jnp.array([(mean_uv[0] - cx) / fx * z0, (mean_uv[1] - cy) / fy * z0, z0])
-    T0 = se3.make_T(jnp.eye(3), t0)
+    R_flip = se3.so3_exp(jnp.asarray([0.0, jnp.pi, 0.0]))
+    T0s = jnp.stack([se3.make_T(jnp.eye(3), t0), se3.make_T(R_flip, t0)])
 
     def gn(T, _):
         pc = se3.transform_points(T, X)  # (6, 3)
@@ -177,12 +183,21 @@ def head_pose_pnp(
         dxi = jnp.linalg.solve(H, g)
         return se3.se3_exp(dxi) @ T, None
 
-    T, _ = jax.lax.scan(gn, T0, None, length=iterations)
-    pc = se3.transform_points(T, X)
-    z = jnp.maximum(pc[:, 2], 1e-6)
-    pred = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], axis=-1)
-    err = jnp.sum(jnp.linalg.norm(pred - uv, axis=-1) * w) / jnp.maximum(jnp.sum(w), 1)
-    return T, err
+    def solve_from(T0):
+        T, _ = jax.lax.scan(gn, T0, None, length=iterations)
+        pc = se3.transform_points(T, X)
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        pred = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], axis=-1)
+        err = jnp.sum(jnp.linalg.norm(pred - uv, axis=-1) * w) / jnp.maximum(
+            jnp.sum(w), 1
+        )
+        return T, err
+
+    Ts, errs = jax.vmap(solve_from)(T0s)
+    # A diverged branch reports NaN; argmin must never select it.
+    errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
+    best = jnp.argmin(errs)
+    return Ts[best], errs[best]
 
 
 def gaze_from_landmarks(
