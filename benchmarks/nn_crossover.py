@@ -64,9 +64,17 @@ def measure(sizes=None) -> list:
         bi, bd = brute(qj, refj, mask)
         hi, hd = hashed(vh, qj)
         # Agreement where the true NN is within the hash radius.
+        # Relative tolerance: the MXU brute force computes d2 via the
+        # |a|^2+|b|^2-2ab expansion, whose f32 cancellation error at
+        # |p|~5 is ~1e-5 absolute — an atol at that scale misreads
+        # near-zero distances as disagreement (measured: 2.8% "agree"
+        # on identical answers).
         in_range = np.asarray(bd) <= radius * radius
         agree = np.mean(
-            np.isclose(np.asarray(hd)[in_range], np.asarray(bd)[in_range], atol=1e-5)
+            np.isclose(
+                np.asarray(hd)[in_range], np.asarray(bd)[in_range],
+                rtol=1e-2, atol=1e-5,
+            )
         )
         rows.append({
             "nq": nq, "m": m,

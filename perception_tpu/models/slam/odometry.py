@@ -79,6 +79,13 @@ class OdometryConfig:
     map_voxel: float = 0.02           # fusion dedup leaf (m)
     map_nn_radius: float = 0.06       # correspondence radius in map mode
     map_nn_window: int = 16           # candidates gathered per hash cell
+    # Correspondence engine in map mode. "auto" picks by measured
+    # roofline on the target chip (ROOFLINE.md): the MXU distance-tile
+    # brute force beats gather-style NN up to ~64k map points on TPU
+    # (0.9 ms vs an unstable 0.05-52 ms lowering of the hash gathers at
+    # 32k), while the voxel hash is the sublinear choice beyond that
+    # and on CPU hosts. "brute"/"hash" force a path.
+    map_nn: str = "auto"
     # Keyframe promotion thresholds
     kf_translation: float = 0.15      # meters
     kf_rotation: float = 0.2          # radians
@@ -218,26 +225,41 @@ def odometry_step(
     use_fused = cfg.fused_gn == "on"
 
     if cfg.map_budget > 0:
-        # Dense map mode: point-to-plane GN against the fused local map
-        # with voxel-hash NN (sublinear in map size; build once per
-        # step, query each iteration).
+        # Dense map mode: point-to-plane GN against the fused local
+        # map. NN engine per cfg.map_nn: MXU brute distance tiles up to
+        # the measured on-chip crossover, voxel hash beyond (sublinear;
+        # build once per step, query each iteration).
         from perception_tpu.ops import voxelhash
 
-        vh = voxelhash.build(
-            state.map_points, state.map_mask, cell_size=cfg.map_nn_radius
+        use_hash = cfg.map_nn == "hash" or (
+            cfg.map_nn == "auto" and cfg.map_budget > 65536
         )
-        nrm_sorted = state.map_normals[vh.order]
         r2 = cfg.map_nn_radius**2
+        if use_hash:
+            vh = voxelhash.build(
+                state.map_points, state.map_mask, cell_size=cfg.map_nn_radius
+            )
+            map_pts_nn = vh.points
+            nrm_sorted = state.map_normals[vh.order]
+
+            def nn_query(src_t):
+                return voxelhash.query(vh, src_t, window=cfg.map_nn_window)
+        else:
+            map_pts_nn = apply_mask(state.map_points, state.map_mask)
+            nrm_sorted = state.map_normals
+
+            def nn_query(src_t):
+                return _nn.nearest_neighbor(src_t, map_pts_nn, state.map_mask)
 
         def correspondences(T):
             src_t = se3.transform_points(T, src_pts)
-            idx, d2 = voxelhash.query(vh, src_t, window=cfg.map_nn_window)
+            idx, d2 = nn_query(src_t)
             gate = src_mask & (d2 <= r2)
             return src_t, idx, d2, gate
 
         def gn_body(T, _):
             src_t, idx, d2, gate = correspondences(T)
-            q = vh.points[idx]
+            q = map_pts_nn[idx]
             nrm = nrm_sorted[idx]
             r = jnp.sum(nrm * (src_t - q), axis=-1)
             w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
