@@ -263,5 +263,12 @@ def au_gated_pose_mask(
     (``openface2_ros/src/openface2_ros.cpp:467-476``). ``intensities``
     is (..., len(AU_NAMES)) from ``ActionUnitHead``; returns a (...)
     bool mask — True where the pose should be emitted.
+
+    Intentionally out of scope from that block: the reference also
+    overwrites ``head_pose.position.z`` from a ROS TF lookup of the
+    camera frame before publishing (``:472-474``) — a ROS-transport
+    detail with no analog here, where ``head_pose_pnp`` already returns
+    the pose in the metric camera frame (consumers composing additional
+    frame transforms apply them to the returned (4, 4) directly).
     """
     return intensities[..., AU_NAMES.index(au_name)] > threshold
