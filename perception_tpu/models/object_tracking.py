@@ -42,7 +42,8 @@ from perception_tpu.models.cuboid import _yaw_restart_inits
 from perception_tpu.models.objects import ObjectConfig
 from perception_tpu.ops import points as P
 from perception_tpu.ops.cluster import euclidean_cluster
-from perception_tpu.ops.icp import icp_batched
+from perception_tpu.ops.icp import icp_point_to_plane
+from perception_tpu.ops.normals import normals_knn
 from perception_tpu.ops.ransac import ransac_plane
 
 
@@ -61,6 +62,12 @@ class TrackingConfig:
     cold_size_gate: float = 0.35      # max |normalized cluster size -
                                       # normalized template size| for a
                                       # cold (re-)detection binding
+    # Depth-image decimation before backprojection (the cuboid
+    # pipeline's depth_stride): voxel_downsample on a raw 640x480
+    # frame costs 18 ms / 63 GB of scatter traffic on-chip; at stride 2
+    # the whole front-end drops ~4x with no measurable pose cost at
+    # tabletop ranges.
+    depth_stride: int = 2
 
 
 class TrackSlots(NamedTuple):
@@ -108,9 +115,13 @@ def _front_end(points, mask, key, det: ObjectConfig):
     )
     off = dm & ~plane.inliers
     off = P.passthrough(dpts, off, 2, 0.0, det.table_z_cut)
+    # Cluster only the off-plane survivors at their own (small)
+    # capacity — label propagation over the full working set measured
+    # 117 GB/frame of HBM traffic (ObjectConfig.offplane_capacity).
+    opts, om = P.compact(dpts, off, det.offplane_capacity)
 
     clusters = euclidean_cluster(
-        dpts, off,
+        opts, om,
         tolerance=det.cluster_tolerance,
         min_size=det.cluster_min_size,
         max_size=det.cluster_max_size,
@@ -123,7 +134,7 @@ def _front_end(points, mask, key, det: ObjectConfig):
         order = jnp.argsort(~sel, stable=True)
         idx = order[: det.cluster_capacity]
         cm = sel[idx]
-        return P.apply_mask(dpts[idx], cm), cm
+        return P.apply_mask(opts[idx], cm), cm
 
     cpts, cmasks = jax.vmap(gather)(jnp.arange(C))
     centroids = jax.vmap(P.centroid)(cpts, cmasks)
@@ -141,12 +152,25 @@ def track_step(
     template_masks: jax.Array,  # (K, Nt)
     key: jax.Array,
     cfg: TrackingConfig = TrackingConfig(),
+    template_normals: jax.Array | None = None,  # (K, Nt, 3) precomputed
 ) -> Tuple[TrackSlots, TrackDiag]:
     """One streaming frame: front-end + assignment + batched warm/cold
-    ICP + the latch state machine."""
+    point-to-plane ICP + the latch state machine.
+
+    Point-to-PLANE against the template (not point-to-point): measured
+    at 640x480, point-to-point restarts settle into gate-passing minima
+    5-16 cm off (a partial template covers the observed surface while
+    sticking into free space unpenalized); the plane constraint removes
+    those minima (0.1-0.3 cm on the same clusters). Pass
+    ``template_normals`` (normals_knn per template) to skip the
+    in-graph recompute."""
     det = cfg.detection
     K = cfg.max_tracks
     R = cfg.redetect_restarts
+    if template_normals is None:
+        template_normals = jax.vmap(
+            lambda t, m: normals_knn(t, m, k=8)[0]
+        )(templates, template_masks)
 
     (cpts, cmasks, centroids, csizes, alive, n_clusters, keep_ratio) = (
         _front_end(points, mask, key, det)
@@ -230,16 +254,22 @@ def track_step(
     )                                                                # (K, R+2, 4, 4)
     n_rows = R + 2
 
-    def per_slot(s, sm, tmpl, tmplm, init):
-        return icp_batched(
-            jnp.broadcast_to(s, (n_rows,) + s.shape),
-            jnp.broadcast_to(sm, (n_rows,) + sm.shape),
-            tmpl, tmplm,
-            init_transforms=init,
-            max_iterations=cfg.warm_icp_iterations,
+    import functools
+
+    p2pl = functools.partial(
+        icp_point_to_plane,
+        max_iterations=cfg.warm_icp_iterations,
+        transformation_epsilon=1e-12,
+    )
+
+    def per_slot(s, sm, tmpl, tn, tmplm, init):
+        return jax.vmap(p2pl, in_axes=(None, None, None, None, None, 0))(
+            s, sm, tmpl, tn, tmplm, init
         )
 
-    res = jax.vmap(per_slot)(src, srcm, templates, template_masks, inits)
+    res = jax.vmap(per_slot)(
+        src, srcm, templates, template_normals, template_masks, inits
+    )
     fit = res.fitness                                                # (K, R+2)
     fit = jnp.where((assigned >= 0)[:, None], fit, jnp.inf)
     # Row selection: a latched slot whose (re-centered) warm
@@ -293,8 +323,19 @@ def track_step_from_depth(
     template_masks: jax.Array,
     key: jax.Array,
     cfg: TrackingConfig = TrackingConfig(),
+    template_normals: jax.Array | None = None,
 ) -> Tuple[TrackSlots, TrackDiag]:
     """Streaming entry point from a raw depth image (the bag-replay
     topology: /camera/depth/color/points -> plane seg -> ICP nodes)."""
+    st = cfg.depth_stride
+    if st > 1:
+        o = st // 2
+        depth = depth[o::st, o::st]
+        camera = dataclasses.replace(
+            camera, fx=camera.fx / st, fy=camera.fy / st,
+            cx=(camera.cx - o) / st, cy=(camera.cy - o) / st,
+            width=depth.shape[1], height=depth.shape[0],
+        )
     pts, valid = camera.backproject_depth(depth, min_depth=0.05, max_depth=5.0)
-    return track_step(slots, pts, valid, templates, template_masks, key, cfg)
+    return track_step(slots, pts, valid, templates, template_masks, key, cfg,
+                      template_normals=template_normals)

@@ -114,8 +114,14 @@ def euclidean_cluster(
     # ~10 sequential compare-gather steps per iteration — hoisting it
     # cut the euclidean_cluster stage ~5x on chip). neigh_pos points at
     # index n (a sentinel slot) where the neighbor cell is unoccupied.
+    # method="sort": the default 'scan' lowering of a (n, 27) query set
+    # materializes an all-pairs comparison on TPU — measured 14.7 GFLOP
+    # and tens of GB of traffic per call at n=8192 (the same pathology
+    # ops/voxelhash.py documents).
     neigh_ids = vox_ids[:, None] + offs[None, :]  # (n, 27)
-    pos = jnp.clip(jnp.searchsorted(vox_ids, neigh_ids), 0, n - 1)
+    pos = jnp.clip(
+        jnp.searchsorted(vox_ids, neigh_ids, method="sort"), 0, n - 1
+    )
     found = vox_ids[pos] == neigh_ids
     neigh_pos = jnp.where(found, pos, jnp.int32(n))  # (n, 27)
 
@@ -129,8 +135,8 @@ def euclidean_cluster(
         # points of each of its 27 adjacent cells (contiguous segments
         # of the sorted-by-cell order — the voxel-hash layout); an edge
         # exists iff |p_i - p_j| <= tolerance.
-        seg_start = jnp.searchsorted(sorted_ids, vox_ids, side="left")
-        seg_end = jnp.searchsorted(sorted_ids, vox_ids, side="right")
+        seg_start = jnp.searchsorted(sorted_ids, vox_ids, side="left", method="sort")
+        seg_end = jnp.searchsorted(sorted_ids, vox_ids, side="right", method="sort")
         pr = jnp.clip(point_rank, 0, n - 1)
         nb = neigh_pos[pr]                                # (n, 27) voxel ranks
         nb_ok = (nb < n) & (point_rank >= 0)[:, None]

@@ -6,6 +6,7 @@ warm-started ICP and the reference's latch/republish semantics
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +93,7 @@ def test_tracks_all_cuboids_with_warm_icp():
     assert warm_hits >= (len(traj) - 1) * K - 3, warm_hits
 
 
+@pytest.mark.slow
 def test_latch_republishes_then_redetects_on_loss():
     """Reference latch semantics: a lost object's slot republishes the
     cached pose for up to max_misses frames, then re-enters detection;
@@ -145,6 +147,7 @@ def test_latch_republishes_then_redetects_on_loss():
     assert nearest_gt_err(slots.pose[2], gt) < 0.03
 
 
+@pytest.mark.slow
 def test_other_slots_unaffected_by_one_loss():
     camera = small_camera()
     templates, tmasks = stacked_templates()

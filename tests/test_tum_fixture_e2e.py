@@ -35,6 +35,7 @@ def test_tum_sequence_loads_and_associates():
     assert 0.1 < d.min() and d.max() < 8.0
 
 
+@pytest.mark.slow
 def test_cli_slam_on_tum_fixture_reports_bounded_ate(capsys):
     """``cli slam --tum tests/fixtures/tum_mini`` — the config #4
     harness — runs from disk and lands ATE under 5 cm."""
