@@ -90,11 +90,13 @@ def main() -> None:
     for d in dev_frames + key_list:
         jax.block_until_ready(d)
 
+    from benchmarks.timing import sync
+
     def dispatch_b1():
         out = None
         for i in range(n_timed):
             out = fn(dev_frames[i % len(dev_frames)], key_list[i])
-        jax.block_until_ready(out)
+        sync(out)  # D2H drain — block_until_ready under-measures here
 
     fps_b1, spread_b1, runs_b1 = _timed_fps(dispatch_b1, n_timed)
     print(f"tpu: {fps_b1:.2f} frames/s batch-1 (spread {spread_b1:.1f}%, {runs_b1})",
@@ -131,7 +133,7 @@ def main() -> None:
             out_b = None
             for i in range(n_blocks):
                 out_b = fn_b(blocks[i % 4], kblocks[i % 4])
-            jax.block_until_ready(out_b)
+            sync(out_b)
 
         fps_vs_batch[B], spread_b, _ = _timed_fps(dispatch_bB, n_blocks * B)
         spread_vs_batch[B] = round(spread_b, 1)

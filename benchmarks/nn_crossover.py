@@ -1,44 +1,48 @@
 """Nearest-neighbor crossover: MXU brute force vs voxel-hash grid.
 
 North-star evidence for "batched voxel-hash NN-gather kernels replacing
-PCL's KD-tree": the cuboid pipeline's 10^3-10^4 working sets favor the
-MXU distance-tile brute force (ops/nn.py), while dense-map regimes
-(full frames / >= 32k-point fused maps — the SLAM map mode) need the
-sublinear sorted-cell-window gather (ops/voxelhash.py). This bench
-prints ms per query set across sizes so the crossover is documented on
-the current backend rather than asserted.
+PCL's KD-tree" (reference KD-tree use:
+cuboid_detection/src/iterative_closest_point.cpp:170-178). Two hash
+timings per shape:
+
+  hash_warm — queries pre-sorted into cell order (``sort=False``): the
+      production ICP regime, where the source cloud is sorted once per
+      frame (ops/voxelhash.sort_by_cell) and every Gauss-Newton
+      iteration queries in that layout.
+  hash_cold — shuffled queries with the coherence sort inside the
+      timed call (worst case: no reusable order).
+
+Agreement is INDEX-EXACT against a float64 scipy cKDTree oracle,
+restricted to queries whose true NN is within the hash radius (the
+structure's contract). Timing uses benchmarks.timing.bench_ms (the
+tunnel TPU backend needs a D2H read to drain its queue; plain
+block_until_ready under-measures).
 
 Run: python -m benchmarks.nn_crossover
 """
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
 
+from benchmarks.timing import bench_ms
 
-def time_fn(fn, *args, iters=10):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1000.0
+DEFAULT_SIZES = [(4096, 8192), (4096, 32768), (4096, 131072),
+                 (16384, 131072), (307200, 32768), (307200, 131072)]
 
 
-DEFAULT_SIZES = [(1024, 2048), (4096, 8192), (4096, 32768),
-                 (4096, 131072), (16384, 131072), (307200, 32768)]
+def _cloud(rng, m):
+    """Surface-like cloud (2-D manifold in 3-D) with a dense Gaussian
+    center — realistic density plus the r3 stress case."""
+    ref = rng.randn(m, 3).astype(np.float32)
+    ref[:, 2] = 0.2 * np.sin(ref[:, 0] * 3) * np.cos(ref[:, 1] * 3)
+    return ref
 
 
-def measure(sizes=None) -> list:
-    """Measured brute-vs-hash table; each row is a dict (recorded into
-    the driver bench extra — VERDICT r2 item 2)."""
+def measure(sizes=None, iters=10) -> list:
     import jax
     import jax.numpy as jnp
+    from scipy.spatial import cKDTree
 
     from perception_tpu.ops import nn as _nn
     from perception_tpu.ops import voxelhash
@@ -47,52 +51,63 @@ def measure(sizes=None) -> list:
     radius = 0.06
     rows = []
     for nq, m in sizes or DEFAULT_SIZES:
-        # Surface-like cloud (2-D manifold in 3-D) — realistic density.
-        ref = rng.randn(m, 3).astype(np.float32)
-        ref[:, 2] = 0.2 * np.sin(ref[:, 0] * 3) * np.cos(ref[:, 1] * 3)
+        ref = _cloud(rng, m)
         q = ref[rng.randint(0, m, nq)] + rng.randn(nq, 3).astype(np.float32) * 0.01
         refj, qj = jnp.asarray(ref), jnp.asarray(q)
         mask = jnp.ones(m, bool)
 
         brute = jax.jit(lambda a, b, c: _nn.nearest_neighbor(a, b, c))
-        t_brute = time_fn(brute, qj, refj, mask)
+        t_brute = bench_ms(brute, qj, refj, mask, iters=iters)
 
         vh = voxelhash.build(refj, mask, cell_size=radius)
-        hashed = jax.jit(lambda v, a: voxelhash.query(v, a, window=16))
-        t_hash = time_fn(hashed, vh, qj)
+        cold = jax.jit(lambda v, a: voxelhash.query(v, a, sort=True))
+        t_cold = bench_ms(cold, vh, qj, iters=iters)
 
-        bi, bd = brute(qj, refj, mask)
-        hi, hd = hashed(vh, qj)
-        # Agreement where the true NN is within the hash radius.
-        # Relative tolerance: the MXU brute force computes d2 via the
-        # |a|^2+|b|^2-2ab expansion, whose f32 cancellation error at
-        # |p|~5 is ~1e-5 absolute — an atol at that scale misreads
-        # near-zero distances as disagreement (measured: 2.8% "agree"
-        # on identical answers).
-        in_range = np.asarray(bd) <= radius * radius
-        agree = np.mean(
-            np.isclose(
-                np.asarray(hd)[in_range], np.asarray(bd)[in_range],
-                rtol=1e-2, atol=1e-5,
-            )
-        )
+        q_sorted, order_q = voxelhash.sort_by_cell(vh, qj)
+        warm = jax.jit(lambda v, a: voxelhash.query(v, a, sort=False))
+        t_warm = bench_ms(warm, vh, q_sorted, iters=iters)
+
+        # Index-exact agreement vs f64 KD-tree oracle.
+        tree = cKDTree(ref.astype(np.float64))
+        od, oi = tree.query(q.astype(np.float64))
+        in_r = od <= radius
+
+        hi, hd = cold(vh, qj)
+        order = np.asarray(vh.order)
+        agree_cold = float(np.mean(order[np.asarray(hi)][in_r] == oi[in_r]))
+
+        wi, wd = warm(vh, q_sorted)
+        oq = np.asarray(order_q)
+        agree_warm = float(np.mean(
+            order[np.asarray(wi)] == oi[oq]
+        ))  # all-queries check in sorted layout
+        # restrict to in-radius in sorted layout
+        in_r_s = od[oq] <= radius
+        agree_warm = float(np.mean(
+            (order[np.asarray(wi)] == oi[oq])[in_r_s]))
+
         rows.append({
             "nq": nq, "m": m,
-            "brute_ms": round(t_brute, 3), "hash_ms": round(t_hash, 3),
-            "hash_over_brute": round(t_hash / t_brute, 3),
-            "agree_pct": round(float(agree) * 100, 1),
+            "brute_ms": round(t_brute, 3),
+            "hash_warm_ms": round(t_warm, 3),
+            "hash_cold_ms": round(t_cold, 3),
+            "speedup_warm": round(t_brute / t_warm, 2),
+            "speedup_cold": round(t_brute / t_cold, 2),
+            "agree_pct": round(agree_warm * 100, 1),
+            "agree_cold_pct": round(agree_cold * 100, 1),
         })
     return rows
 
 
 def main() -> None:
     rows = measure()
-    print(f"{'Nq':>8} {'M':>8} {'brute ms':>10} {'hash ms':>10} "
-          f"{'hash/brute':>11} {'agree %':>8}")
+    print(f"{'Nq':>8} {'M':>8} {'brute':>9} {'hash_warm':>10} {'hash_cold':>10} "
+          f"{'x_warm':>7} {'x_cold':>7} {'agree':>7}")
     for r in rows:
-        print(f"{r['nq']:>8} {r['m']:>8} {r['brute_ms']:>10.3f} "
-              f"{r['hash_ms']:>10.3f} {r['hash_over_brute']:>11.2f} "
-              f"{r['agree_pct']:>7.1f}%")
+        print(f"{r['nq']:>8} {r['m']:>8} {r['brute_ms']:>8.2f}m "
+              f"{r['hash_warm_ms']:>9.2f}m {r['hash_cold_ms']:>9.2f}m "
+              f"{r['speedup_warm']:>6.2f}x {r['speedup_cold']:>6.2f}x "
+              f"{r['agree_pct']:>6.1f}%")
 
 
 if __name__ == "__main__":

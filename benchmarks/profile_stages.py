@@ -158,7 +158,7 @@ def odometry_stages(results):
     results.append(measure_stage("odom/brute-NN(2048x32768)", nn32, q, ref32, m32))
 
     vh = voxelhash.build(ref32, m32, cell_size=0.06)
-    vq = jax.jit(lambda v, a: voxelhash.query(v, a, window=16))
+    vq = jax.jit(lambda v, a: voxelhash.query(v, a))
     _ = vq(vh, q)
     results.append(measure_stage("odom/voxelhash-NN(2048x32768)", vq, vh, q))
 

@@ -119,7 +119,11 @@ def run(
         poses.append(state.odom.pose)
         flags.append(state.loop_found)
         ba_flags.append(diag.ba_ran)
-    jax.block_until_ready(state)
+    # Drain the device queue with a D2H read: on the tunneled TPU
+    # backend block_until_ready can return before execution finishes
+    # (benchmarks/timing.py), which silently inflated r3's fps records.
+    from benchmarks.timing import sync
+    sync(state.odom.pose)
     dt = time.perf_counter() - t0
     n_corrections = int(jnp.sum(jnp.stack(flags)))
     n_ba = int(jnp.sum(jnp.stack(ba_flags)))

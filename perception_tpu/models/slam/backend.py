@@ -57,16 +57,71 @@ class BAResult(NamedTuple):
     final_cost: jax.Array
 
 
+def _onehot(ids, n, dtype=jnp.float32):
+    """(len(ids), n) one-hot selector — TPU gathers/scatters by row
+    index are serialized loops, so every per-observation gather and
+    segment reduction in the BA inner loop runs as an MXU matmul
+    against these instead (measured: segment_sum-based ba_blocks was
+    ~24 ms/iteration at O=4096, L=1024; the one-hot matmuls are <1 ms)."""
+    return (ids[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]).astype(dtype)
+
+
+def _inv3(A):
+    """Closed-form batched 3x3 inverse (adjugate/det) — pure VPU math;
+    jnp.linalg.inv lowers to a LAPACK-style loop on TPU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    return co / det[..., None, None]
+
+
+def _gauss_solve(A, b):
+    """Dense solve by Gauss-Jordan elimination (fori over pivots) —
+    n sequential steps of (n, n+1) vector ops, which beats the TPU
+    lowering of jnp.linalg.solve for the small systems SLAM produces
+    (6M x 6M reduced cameras, 6N x 6N pose graphs). Diagonally
+    dominant damped normal systems don't need pivoting."""
+    n = A.shape[0]
+    M = jnp.concatenate([A, b[:, None]], axis=1)
+
+    def body(k, M):
+        row = jax.lax.dynamic_index_in_dim(M, k, 0, keepdims=False)
+        piv = jnp.take(row, k)
+        row = row / jnp.where(jnp.abs(piv) > 1e-20, piv, 1.0)
+        col = jnp.take(M, k, axis=1)
+        onehot = (jnp.arange(n + 0) == k).astype(M.dtype)
+        return M - (col - onehot)[:, None] * row[None, :]
+
+    M = jax.lax.fori_loop(0, n, body, M)
+    return M[:, n]
+
+
 def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask,
-                    fx, fy, cx, cy, obs_z=None, obs_zw=None):
+                    fx, fy, cx, cy, obs_z=None, obs_zw=None,
+                    oh_pose=None, oh_lm=None):
     """Residuals + camera-frame points (O, 3) + per-obs R_cw.
 
     Residuals are (O, 2) for pure reprojection or (O, 3) with the
     weighted depth row appended when ``obs_z``/``obs_zw`` are given.
+    ``oh_pose``/``oh_lm`` (one-hot selectors) route the per-observation
+    pose/landmark lookups through the MXU; when omitted they fall back
+    to row gathers (fine off-TPU / for tiny problems).
     """
-    R = T_cw[obs_pose, :3, :3]          # (O, 3, 3)
-    t = T_cw[obs_pose, :3, 3]           # (O, 3)
-    X = landmarks[obs_lm]               # (O, 3)
+    if oh_pose is not None:
+        Tt = (oh_pose @ T_cw.reshape(T_cw.shape[0], 16)).reshape(-1, 4, 4)
+        R = Tt[:, :3, :3]
+        t = Tt[:, :3, 3]
+    else:
+        R = T_cw[obs_pose, :3, :3]      # (O, 3, 3)
+        t = T_cw[obs_pose, :3, 3]       # (O, 3)
+    X = oh_lm @ landmarks if oh_lm is not None else landmarks[obs_lm]
     pc = jnp.einsum("oij,oj->oi", R, X) + t
     z = jnp.maximum(pc[:, 2], 1e-6)
     u = fx * pc[:, 0] / z + cx
@@ -81,17 +136,26 @@ def _proj_residuals(T_cw, landmarks, obs_pose, obs_lm, obs_uv, obs_mask,
 
 def ba_blocks(T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask,
               fx, fy, cx, cy, M: int, L: int, huber_px: float,
-              obs_z=None, obs_zw=None):
+              obs_z=None, obs_zw=None, oh_pose=None, oh_lm=None):
     """Per-iteration normal-equation blocks from a set of observations.
 
     Returns (Hpp (M,6,6), Hll (L,3,3), U (L,M,6,3), bp (M,6), bl (L,3)).
     Pure sums over observations, so a mesh-sharded observation set just
     psums these outputs (parallel/ba_dist.py) — the distributed
     Schur-complement reduction of the north star.
+
+    All segment reductions run as one-hot matmuls on the MXU (pass
+    precomputed ``oh_pose`` (O, M) / ``oh_lm`` (O, L) selectors — they
+    are iteration-invariant); jax.ops.segment_sum lowers to serialized
+    scatters on TPU and was the dominant BA cost (~24 ms/iteration).
     """
+    if oh_pose is None:
+        oh_pose = _onehot(obs_pose, M)
+    if oh_lm is None:
+        oh_lm = _onehot(obs_lm, L)
     r, pc, Rcw = _proj_residuals(
         T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask, fx, fy, cx, cy,
-        obs_z, obs_zw,
+        obs_z, obs_zw, oh_pose=oh_pose, oh_lm=oh_lm,
     )
     z = jnp.maximum(pc[:, 2], 1e-6)
     zero = jnp.zeros_like(z)
@@ -117,20 +181,24 @@ def ba_blocks(T_cw, lms, obs_pose, obs_lm, obs_uv, obs_mask,
     Jp = Jp * w[:, None, None]
     Jl_w = Jl * w[:, None, None]
 
-    # Block sums. (Jp carries w; dividing once gives sum w Jp^T Jp.)
-    Hpp = jax.ops.segment_sum(
-        jnp.einsum("oai,oaj->oij", Jp, Jp) / jnp.maximum(w, 1e-9)[:, None, None],
-        obs_pose, num_segments=M,
+    # Block sums as (segments, O) x (O, D) matmuls.
+    hpp_data = (
+        jnp.einsum("oai,oaj->oij", Jp, Jp)
+        / jnp.maximum(w, 1e-9)[:, None, None]
+    ).reshape(-1, 36)
+    Hpp = (oh_pose.T @ hpp_data).reshape(M, 6, 6)
+    Hll = (oh_lm.T @ jnp.einsum("oai,oaj->oij", Jl_w, Jl).reshape(-1, 9)
+           ).reshape(L, 3, 3)
+    bp = -(oh_pose.T @ jnp.einsum("oai,oa->oi", Jp, r))
+    bl = -(oh_lm.T @ jnp.einsum("oai,oa->oi", Jl_w, r))
+    Wkl = jnp.einsum("oai,oaj->oij", Jp, Jl).reshape(-1, 18)  # carries w once
+    # U (L, M, 6, 3): per-pose masked landmark sums — M is small, so M
+    # masked (L, O) x (O, 18) matmuls beat one (L*M, O) joint one-hot.
+    U = jnp.stack(
+        [(oh_lm.T @ (Wkl * oh_pose[:, m:m + 1])).reshape(L, 6, 3)
+         for m in range(M)],
+        axis=1,
     )
-    Hll = jax.ops.segment_sum(
-        jnp.einsum("oai,oaj->oij", Jl_w, Jl), obs_lm, num_segments=L,
-    )
-    bp = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jp, r), obs_pose, num_segments=M)
-    bl = -jax.ops.segment_sum(jnp.einsum("oai,oa->oi", Jl_w, r), obs_lm, num_segments=L)
-    Wkl = jnp.einsum("oai,oaj->oij", Jp, Jl)  # (O, 6, 3), carries w once
-    U = jax.ops.segment_sum(
-        Wkl, obs_lm * M + obs_pose, num_segments=L * M
-    ).reshape(L, M, 6, 3)
     return Hpp, Hll, U, bp, bl
 
 
@@ -139,7 +207,7 @@ def ba_schur_solve(Hpp, Hll, U, bp, bl, lam, M: int, L: int):
     back-substitute. Returns (dxi (M,6), dX (L,3), seen (L,))."""
     Hll_d = Hll + lam * jnp.broadcast_to(jnp.eye(3), (L, 3, 3))
     seen = jnp.diagonal(Hll, axis1=1, axis2=2).sum(-1) > 1e-9
-    Hll_inv = jnp.linalg.inv(
+    Hll_inv = _inv3(
         jnp.where(seen[:, None, None], Hll_d, jnp.broadcast_to(jnp.eye(3), (L, 3, 3)))
     )
 
@@ -155,7 +223,7 @@ def ba_schur_solve(Hpp, Hll, U, bp, bl, lam, M: int, L: int):
     S = S.at[0, jnp.arange(6), 0, jnp.arange(6)].set(1.0)
     rhs = rhs.at[0].set(0.0)
 
-    dxi = jnp.linalg.solve(S.reshape(6 * M, 6 * M), rhs.reshape(6 * M)).reshape(M, 6)
+    dxi = _gauss_solve(S.reshape(6 * M, 6 * M), rhs.reshape(6 * M)).reshape(M, 6)
     dX = jnp.einsum("lcd,ld->lc", Hll_inv, bl - jnp.einsum("lkdc,kd->lc", U, dxi))
     dX = jnp.where(seen[:, None], dX, 0.0)
     return dxi, dX, seen
@@ -178,20 +246,28 @@ def bundle_adjust(
     cx = jnp.asarray(cx, jnp.float32)
     cy = jnp.asarray(cy, jnp.float32)
 
+    # Iteration-invariant one-hot selectors: every gather/segment-sum
+    # in the loop becomes an MXU matmul against these.
+    oh_pose = _onehot(problem.obs_pose, M)
+    oh_lm = _onehot(problem.obs_lm, L)
+
     def cost(T_cw, lms):
         r, _, _ = _proj_residuals(
             T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
             problem.obs_mask, fx, fy, cx, cy, problem.obs_z, problem.obs_zw,
+            oh_pose=oh_pose, oh_lm=oh_lm,
         )
         n = jnp.maximum(jnp.sum(problem.obs_mask), 1)
         return jnp.sum(r * r) / n
 
     def iteration(carry, _):
-        T_cw, lms, lam = carry
+        # The accepted cost rides the carry — one residual evaluation
+        # per iteration instead of three.
+        T_cw, lms, lam, c_old = carry
         Hpp, Hll, U, bp, bl = ba_blocks(
             T_cw, lms, problem.obs_pose, problem.obs_lm, problem.obs_uv,
             problem.obs_mask, fx, fy, cx, cy, M, L, huber_px,
-            problem.obs_z, problem.obs_zw,
+            problem.obs_z, problem.obs_zw, oh_pose=oh_pose, oh_lm=oh_lm,
         )
 
         dxi, dX, _ = ba_schur_solve(Hpp, Hll, U, bp, bl, lam, M, L)
@@ -202,23 +278,24 @@ def bundle_adjust(
         # Accept/reject (LM): keep the step only if the cost decreased
         # AND stayed finite (a near-singular reduced solve must never
         # poison the long-lived SLAM state).
-        c_old = cost(T_cw, lms)
         c_new = cost(T_new, lms_new)
         better = (c_new < c_old) & jnp.isfinite(c_new)
         T_out = jnp.where(better, T_new, T_cw)
         lms_out = jnp.where(better, lms_new, lms)
         lam_out = jnp.where(better, lam * 0.5, lam * 4.0)
-        return (T_out, lms_out, lam_out), None
+        c_out = jnp.where(better, c_new, c_old)
+        return (T_out, lms_out, lam_out, c_out), None
 
     c0 = cost(T_cw0, problem.landmarks)
-    (T_cw, lms, _), _ = jax.lax.scan(
-        iteration, (T_cw0, problem.landmarks, jnp.float32(damping)), None, length=iterations
+    (T_cw, lms, _, c_fin), _ = jax.lax.scan(
+        iteration, (T_cw0, problem.landmarks, jnp.float32(damping), c0),
+        None, length=iterations,
     )
     return BAResult(
         poses_wc=se3.inverse(T_cw),
         landmarks=lms,
         initial_cost=c0,
-        final_cost=cost(T_cw, lms),
+        final_cost=c_fin,
     )
 
 
@@ -259,6 +336,21 @@ def pose_graph_system(poses, edge_i, edge_j, Tm_inv, w):
     return jax.vmap(one)(poses[edge_i], poses[edge_j], Tm_inv, sw)
 
 
+def pose_graph_system_oh(Ti, Tj, Tm_inv, w):
+    """Like pose_graph_system but with the endpoint poses already
+    looked up (one-hot matmul at the caller — TPU row gathers are
+    serialized loops)."""
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))
+    d0 = jnp.zeros(12, Ti.dtype)
+
+    def one(ti, tj, tmi, s):
+        r = _edge_residual_12(d0, ti, tj, tmi, s)
+        J = jax.jacfwd(_edge_residual_12)(d0, ti, tj, tmi, s)  # (6, 12)
+        return r, J[:, :6], J[:, 6:]
+
+    return jax.vmap(one)(Ti, Tj, Tm_inv, sw)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize_pose_graph(
     graph: PoseGraph,
@@ -276,9 +368,17 @@ def optimize_pose_graph(
     Tm_inv = se3.inverse(graph.edge_T)
     w = (graph.edge_weight * graph.edge_mask).astype(jnp.float32)
 
+    # Iteration-invariant one-hot selectors (edge -> node); assembly
+    # and endpoint lookups run on the MXU instead of TPU scatters.
+    oh_i = _onehot(graph.edge_i, N)   # (E, N)
+    oh_j = _onehot(graph.edge_j, N)
+
+    def lookup(poses, oh):
+        return (oh @ poses.reshape(N, 16)).reshape(-1, 4, 4)
+
     def cost(poses):
-        Ti = poses[graph.edge_i]
-        Tj = poses[graph.edge_j]
+        Ti = lookup(poses, oh_i)
+        Tj = lookup(poses, oh_j)
         r = se3.se3_log(Tm_inv @ se3.inverse(Ti) @ Tj)
         r = r * jnp.sqrt(jnp.maximum(w, 0.0))[:, None]
         return jnp.sum(r * r) / jnp.maximum(jnp.sum(graph.edge_mask), 1)
@@ -286,31 +386,37 @@ def optimize_pose_graph(
     ei, ej = graph.edge_i, graph.edge_j
 
     def iteration(poses, _):
-        r, Ji, Jj = pose_graph_system(poses, ei, ej, Tm_inv, w)
+        r, Ji, Jj = pose_graph_system_oh(
+            lookup(poses, oh_i), lookup(poses, oh_j), Tm_inv, w
+        )
 
         Hii = jnp.einsum("eai,eaj->eij", Ji, Ji)
         Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
         Hji = Hij.transpose(0, 2, 1)
         Hjj = jnp.einsum("eai,eaj->eij", Jj, Jj)
-        blocks = jnp.concatenate([Hii, Hij, Hji, Hjj], axis=0)
-        keys = jnp.concatenate([ei * N + ei, ei * N + ej, ej * N + ei, ej * N + ej])
-        Hb = jax.ops.segment_sum(blocks, keys, num_segments=N * N)
+        blocks = jnp.concatenate(
+            [Hii.reshape(-1, 36), Hij.reshape(-1, 36),
+             Hji.reshape(-1, 36), Hjj.reshape(-1, 36)], axis=0)  # (4E, 36)
+        oh_row = jnp.concatenate([oh_i, oh_i, oh_j, oh_j], axis=0)  # (4E, N)
+        oh_col = jnp.concatenate([oh_i, oh_j, oh_i, oh_j], axis=0)  # (4E, N)
+        # H[na, nb, 6, 6] = sum_e oh_row[e,na] * oh_col[e,nb] * block[e]
+        # — contract via (N, 4E) x (4E, N*36) after scaling blocks by
+        # the column one-hot (kron-style expansion).
+        scaled = jnp.einsum("en,ek->enk", oh_col, blocks)      # (4E, N, 36)
+        Hb = jnp.einsum("em,enk->mnk", oh_row, scaled)         # (N, N, 36)
         H = Hb.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
         H = H + damping * jnp.eye(6 * N)
 
         gi = -jnp.einsum("eai,ea->ei", Ji, r)
         gj = -jnp.einsum("eai,ea->ei", Jj, r)
-        g = jax.ops.segment_sum(
-            jnp.concatenate([gi, gj], axis=0),
-            jnp.concatenate([ei, ej]),
-            num_segments=N,
-        ).reshape(-1)
+        g = (jnp.concatenate([oh_i, oh_j], axis=0).T
+             @ jnp.concatenate([gi, gj], axis=0)).reshape(-1)
 
         # Gauge: freeze node 0.
         H = H.at[:6].set(0.0).at[:, :6].set(0.0)
         H = H.at[jnp.arange(6), jnp.arange(6)].set(1.0)
         g = g.at[:6].set(0.0)
-        delta = jnp.linalg.solve(H, g).reshape(N, 6)
+        delta = _gauss_solve(H, g).reshape(N, 6)
         new_poses = poses @ se3.se3_exp(delta)
         better = cost(new_poses) < cost(poses)
         return jnp.where(better, new_poses, poses), None

@@ -78,13 +78,11 @@ class OdometryConfig:
     map_budget: int = 0               # 0 = keyframe-target mode
     map_voxel: float = 0.02           # fusion dedup leaf (m)
     map_nn_radius: float = 0.06       # correspondence radius in map mode
-    map_nn_window: int = 16           # candidates gathered per hash cell
-    # Correspondence engine in map mode. "auto" picks by measured
-    # roofline on the target chip (ROOFLINE.md): the MXU distance-tile
-    # brute force beats gather-style NN up to ~64k map points on TPU
-    # (0.9 ms vs an unstable 0.05-52 ms lowering of the hash gathers at
-    # 32k), while the voxel hash is the sublinear choice beyond that
-    # and on CPU hosts. "brute"/"hash" force a path.
+    # Correspondence engine in map mode. "auto" picks by the measured
+    # r4 crossover (BENCH nn_crossover, warm path): the MXU distance-
+    # tile brute force ties the hash up to ~16k map points; beyond that
+    # the blocked voxel hash wins and keeps winning (5.9x at a full
+    # frame vs 32k, 9.2x vs 131k). "brute"/"hash" force a path.
     map_nn: str = "auto"
     # Keyframe promotion thresholds
     kf_translation: float = 0.15      # meters
@@ -232,7 +230,7 @@ def odometry_step(
         from perception_tpu.ops import voxelhash
 
         use_hash = cfg.map_nn == "hash" or (
-            cfg.map_nn == "auto" and cfg.map_budget > 65536
+            cfg.map_nn == "auto" and cfg.map_budget > 16384
         )
         r2 = cfg.map_nn_radius**2
         if use_hash:
@@ -241,9 +239,19 @@ def odometry_step(
             )
             map_pts_nn = vh.points
             nrm_sorted = state.map_normals[vh.order]
+            # Sort the source into cell order ONCE per frame (under the
+            # warm-start transform); every GN iteration then queries
+            # with sort=False — the mm-scale pose updates keep the
+            # layout tile-coherent, and results come back unpermuted.
+            # Residuals/sums are permutation-invariant, so the sorted
+            # copies simply replace src everywhere in this branch.
+            src_t0 = se3.transform_points(T0, src_pts)
+            _, src_order = voxelhash.sort_by_cell(vh, src_t0)
+            src_pts = src_pts[src_order]
+            src_mask = src_mask[src_order]
 
             def nn_query(src_t):
-                return voxelhash.query(vh, src_t, window=cfg.map_nn_window)
+                return voxelhash.query(vh, src_t, sort=False)
         else:
             map_pts_nn = apply_mask(state.map_points, state.map_mask)
             nrm_sorted = state.map_normals

@@ -127,7 +127,7 @@ def test_map_mode_tracks_and_fuses():
     depths = [render_room_depth(cam, T, seed=i) for i, T in enumerate(gt)]
 
     cfg_map = OdometryConfig(**base, map_budget=4096, map_voxel=0.03,
-                             map_nn_radius=0.12, map_nn_window=16)
+                             map_nn_radius=0.12)
     poses, diags = run_odometry(cam, depths, cfg_map)
     est = np.stack([np.asarray(p) for p in poses])
     r = ate(est, np.stack(gt), align=False)
@@ -160,7 +160,7 @@ def test_map_mode_at_headline_scale_32k():
     depths = [render_room_depth(cam, T, seed=i) for i, T in enumerate(gt)]
 
     cfg_map = OdometryConfig(**base, map_budget=32768, map_voxel=0.02,
-                             map_nn_radius=0.08, map_nn_window=16)
+                             map_nn_radius=0.08)
     poses, diags = run_odometry(cam, depths, cfg_map)
     est = np.stack([np.asarray(p) for p in poses])
     r = ate(est, np.stack(gt), align=False)
