@@ -98,13 +98,19 @@ def run(
     key, sub = jax.random.split(key)
     warm, _ = slam_step(state, jnp.asarray(depths[1]), jnp.asarray(grays[1]),
                         camera, sub, cfg)
-    jax.block_until_ready(warm)
+    from benchmarks.timing import sync
+    sync(warm.odom.pose)
 
     # Stage frames on device up-front (the prefetcher does this in
     # production; here it keeps host decode out of the timed loop).
+    # sync() (a 1-element D2H read) drains the FIFO device queue, so
+    # every staged H2D transfer has truly completed before the clock
+    # starts — block_until_ready returns early on the tunnel backend
+    # and let ~700 MB of pending uploads leak into the timed loop.
     dj = [jnp.asarray(d) for d in depths]
     gj = [jnp.asarray(g) for g in grays]
-    jax.block_until_ready(dj[-1])
+    sync(dj[-1])
+    sync(gj[-1])
 
     # Pure async dispatch: corrections and BA run on-device inside
     # slam_step (lax.cond), so the timed loop never syncs on a flag.
@@ -121,8 +127,7 @@ def run(
         ba_flags.append(diag.ba_ran)
     # Drain the device queue with a D2H read: on the tunneled TPU
     # backend block_until_ready can return before execution finishes
-    # (benchmarks/timing.py), which silently inflated r3's fps records.
-    from benchmarks.timing import sync
+    # (benchmarks/timing.py), which silently skewed r3's fps records.
     sync(state.odom.pose)
     dt = time.perf_counter() - t0
     n_corrections = int(jnp.sum(jnp.stack(flags)))

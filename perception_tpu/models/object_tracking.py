@@ -56,6 +56,23 @@ class TrackingConfig:
     warm_icp_iterations: int = 60
     redetect_restarts: int = 4
     fitness_gate: float = 0.0004      # launch icp_fitness_score (:42)
+    # Correspondence gate for the tracking ICP solves; num_corr then
+    # measures real template overlap. Point-to-plane fitness is blind
+    # to in-plane slides (the r3 record's 12 cm p90 tail was latched
+    # warm rows gliding along the template faces at gate-passing
+    # fitness); a slide sheds overlap, so requiring
+    # num_corr/cluster_points >= min_overlap rejects it and row
+    # selection falls through to a restart that genuinely covers the
+    # cluster (for near-symmetric cuboids that is a symmetry flip —
+    # center-correct by construction).
+    corr_radius: float = 0.015
+    min_overlap: float = 0.8
+    # Centroid-consistency gate: the pose's implied template centroid
+    # must stay within this of the assigned cluster's centroid. Kills
+    # the flip-plus-slide attractors (measured: a latched 180-degree
+    # solution offset 10.6 cm, passing both fitness and overlap with
+    # the cluster matched onto a different region of the template).
+    center_gate: float = 0.04
     max_misses: int = 5               # failures before a latched slot
                                       # re-enters detection
     match_radius: float = 0.15        # centroid assignment radius (m)
@@ -108,7 +125,9 @@ def _front_end(points, mask, key, det: ObjectConfig):
     if dpts.shape[0] > det.work_capacity:
         cnt = jnp.sum(dm, dtype=jnp.float32)
         keep_ratio = jnp.minimum(1.0, det.work_capacity / jnp.maximum(cnt, 1.0))
-        dpts, dm = P.compact(dpts, dm, det.work_capacity)
+        # voxel_downsample's output is prefix-masked (slot i = i-th
+        # occupied voxel) -> the cheap gather-only compaction applies.
+        dpts, dm = P.compact_prefix(dpts, dm, det.work_capacity)
     plane = ransac_plane(
         dpts, dm, key, threshold=det.ransac_threshold,
         num_hypotheses=det.ransac_hypotheses,
@@ -260,6 +279,7 @@ def track_step(
         icp_point_to_plane,
         max_iterations=cfg.warm_icp_iterations,
         transformation_epsilon=1e-12,
+        max_correspondence_distance=cfg.corr_radius,
     )
 
     def per_slot(s, sm, tmpl, tn, tmplm, init):
@@ -267,18 +287,79 @@ def track_step(
             s, sm, tmpl, tn, tmplm, init
         )
 
-    res = jax.vmap(per_slot)(
-        src, srcm, templates, template_normals, template_masks, inits
-    )
+    # Steady state (every slot latched with NO recent miss) runs ONLY
+    # the two warm rows per slot; the yaw-restart fan solves are the
+    # step's dominant cost and only matter on acquisition or loss.
+    # A single miss re-arms the fan on the very next frame — waiting
+    # for the max_misses unlatch instead leaves the published pose
+    # stale for up to that many frames (measured +0.6 cm median on the
+    # tracking sweep). lax.cond keeps the branch off the common path;
+    # the skipped rows report inf fitness so selection/gating below
+    # are unchanged.
+    steady = jnp.all(slots.latched & (slots.misses == 0))
+
+    def _solve_full(_):
+        return jax.vmap(per_slot)(
+            src, srcm, templates, template_normals, template_masks, inits
+        )
+
+    def _solve_warm(_):
+        rw = jax.vmap(per_slot)(
+            src, srcm, templates, template_normals, template_masks,
+            inits[:, :2],
+        )
+        pad = n_rows - 2
+        return type(rw)(
+            transform=jnp.concatenate(
+                [rw.transform,
+                 jnp.broadcast_to(jnp.eye(4, dtype=rw.transform.dtype),
+                                  (K, pad, 4, 4))], axis=1),
+            fitness=jnp.concatenate(
+                [rw.fitness, jnp.full((K, pad), jnp.inf, rw.fitness.dtype)],
+                axis=1),
+            num_corr=jnp.concatenate(
+                [rw.num_corr, jnp.zeros((K, pad), rw.num_corr.dtype)], axis=1),
+            iterations=jnp.concatenate(
+                [rw.iterations, jnp.zeros((K, pad), rw.iterations.dtype)],
+                axis=1),
+            converged=jnp.concatenate(
+                [rw.converged, jnp.zeros((K, pad), bool)], axis=1),
+        )
+
+    res = jax.lax.cond(steady, _solve_warm, _solve_full, None)
     fit = res.fitness                                                # (K, R+2)
     fit = jnp.where((assigned >= 0)[:, None], fit, jnp.inf)
+    # Overlap per row: gated correspondences over live cluster points.
+    n_src = jnp.sum(srcm, axis=1).astype(jnp.float32)                # (K,)
+    ovl = res.num_corr.astype(jnp.float32) / jnp.maximum(n_src, 1.0)[:, None]
+    # Implied template centroid per row vs the assigned cluster's.
+    pose_rows = se3.inverse(res.transform.reshape(-1, 4, 4)).reshape(
+        K, n_rows, 4, 4
+    )
+    pred_c = (
+        jnp.einsum("krij,kj->kri", pose_rows[:, :, :3, :3], t_cents)
+        + pose_rows[:, :, :3, 3]
+    )                                                                # (K, R+2, 3)
+    cdist = jnp.linalg.norm(pred_c - c_assigned[:, None, :], axis=-1)
+    row_pass = (
+        (fit < cfg.fitness_gate)
+        & (ovl >= cfg.min_overlap)
+        & (cdist <= cfg.center_gate)
+        & (assigned >= 0)[:, None]
+    )
     # Row selection: a latched slot whose (re-centered) warm
-    # continuation passes the gate KEEPS it, even when a cold restart
+    # continuation passes BOTH gates KEEPS it, even when a cold restart
     # scores marginally better — near-symmetric objects (a cuboid under
     # a 3-face template) have several gate-passing minima, and argmin
     # alone makes the published pose flip between them frame to frame.
-    warm_ok = slots.latched & (fit[:, 0] < cfg.fitness_gate)
-    best = jnp.where(warm_ok, 0, jnp.argmin(fit, axis=1))            # (K,)
+    warm_ok = slots.latched & row_pass[:, 0]
+    fit_pass = jnp.where(row_pass, fit, jnp.inf)
+    any_pass = jnp.any(row_pass, axis=1)
+    best = jnp.where(
+        warm_ok, 0,
+        jnp.where(any_pass, jnp.argmin(fit_pass, axis=1),
+                  jnp.argmin(fit, axis=1)),
+    )                                                                # (K,)
     best_fit = jnp.take_along_axis(fit, best[:, None], axis=1)[:, 0]
     best_T = jnp.take_along_axis(
         res.transform, best[:, None, None, None] * jnp.ones((K, 1, 4, 4), jnp.int32),
@@ -290,7 +371,7 @@ def track_step(
     #   pass  -> latch/update pose, clear misses;
     #   fail while latched -> keep cached pose, count a miss;
     #   fail too long / never latched -> slot stays open.
-    passed = best_fit < cfg.fitness_gate
+    passed = any_pass
     new_pose = jnp.where(passed[:, None, None], fresh_pose, slots.pose)
     new_latched = slots.latched | passed
     new_misses = jnp.where(passed, 0, slots.misses + slots.latched.astype(jnp.int32))

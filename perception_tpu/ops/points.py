@@ -180,6 +180,25 @@ def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Arra
     return apply_mask(points[idx], out_mask), out_mask
 
 
+def compact_prefix(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """compact() specialized for PREFIX masks (all valid slots lead).
+
+    voxel_downsample emits exactly this layout (slot i = i-th occupied
+    voxel), so the follow-up decimation reduces to one row gather of
+    ``capacity`` evenly spaced valid rows — no argsort over the full
+    input capacity. Over-capacity inputs are decimated evenly, like
+    compact().
+    """
+    cnt = jnp.sum(mask, dtype=jnp.int32)
+    out_rank = jnp.arange(capacity, dtype=jnp.int32)
+    # Even decimation: out j <- valid row floor(j * cnt / kept).
+    kept = jnp.minimum(cnt, capacity)
+    idx = (out_rank * cnt) // jnp.maximum(kept, 1)
+    idx = jnp.minimum(idx, points.shape[0] - 1)
+    out_mask = out_rank < kept
+    return apply_mask(points[idx], out_mask), out_mask
+
+
 def _keep_positions(mask: jax.Array, capacity: int, dtype):
     """Decimation keep-mask (+ front-compacted rank, informational).
 
