@@ -52,6 +52,7 @@ def run(
     height: int = 480,
     enable_ba: bool = True,
     map_budget: int = 0,
+    map_nn: str = "auto",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -78,6 +79,7 @@ def run(
             kf_translation=0.10,
             kf_rotation=0.12,
             map_budget=map_budget,
+            map_nn=map_nn,
         ),
         max_keyframes=64,
         max_edges=192,

@@ -75,5 +75,28 @@ def main() -> None:
     assert recall > 0.5, "trained net failed to find people"
 
 
+def main_facade() -> None:
+    """The same pipeline through the Perception facade (wrapper.py) —
+    the reference Wrapper::emplaceAndPop flow in a few lines."""
+    import numpy as np
+
+    from perception_tpu.wrapper import (
+        Perception,
+        WrapperStructInput,
+        WrapperStructPose,
+    )
+
+    frames = [np.random.RandomState(i).rand(96, 96, 3).astype(np.float32)
+              for i in range(2)]
+    engine = Perception(
+        pose=WrapperStructPose(topology="COCO_18", net_hw=(64, 64), top_n=2),
+        input=WrapperStructInput(source=frames),
+    )
+    for datum in engine.exec():
+        n = int(np.asarray(datum.people.mask).sum())
+        print(f"facade frame {datum.frame_index}: {n} people")
+
+
 if __name__ == "__main__":
     main()
+    main_facade()

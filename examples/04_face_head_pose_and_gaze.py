@@ -90,5 +90,42 @@ def main() -> None:
     assert int(keep.sum()) == 1
 
 
+
+
+def main_facade() -> None:
+    """Same stack via the Perception facade (wrapper.py) — the
+    Wrapper::configure/exec surface of the reference; face/hand ride
+    the trained fixtures when present."""
+    import numpy as np
+
+    from perception_tpu.models import face_fixture as FF
+    from perception_tpu.models import hand_fixture as HF
+    from perception_tpu.models import pose_fixture as PF
+    from perception_tpu.wrapper import (
+        Perception,
+        WrapperStructFace,
+        WrapperStructHand,
+        WrapperStructInput,
+        WrapperStructPose,
+    )
+
+    if not (PF.fixture_available() and FF.fixture_available()
+            and HF.fixture_available()):
+        print("facade demo skipped (fixtures missing)")
+        return
+    frames = [np.random.RandomState(7).rand(128, 128, 3).astype(np.float32)]
+    engine = Perception(
+        pose=WrapperStructPose(topology=PF.FIXTURE_TOPOLOGY, net_hw=PF.FIXTURE_HW),
+        face=WrapperStructFace(enabled=True),
+        hand=WrapperStructHand(enabled=True),
+        input=WrapperStructInput(source=frames),
+    )
+    for datum in engine.exec():
+        print(f"facade: people={int(np.asarray(datum.people.mask).sum())}, "
+              f"face reproj={float(datum.faces['reproj_px']):.2f} px, "
+              f"hand lms={int(np.asarray(datum.hands['landmark_mask']).sum())}")
+
+
 if __name__ == "__main__":
     main()
+    main_facade()

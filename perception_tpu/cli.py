@@ -199,24 +199,27 @@ def cmd_slam(args) -> None:
 
 
 def cmd_pose(args) -> None:
-    """Multi-person 2-D pose with the in-repo trained fixture (or a
-    synthetic scene when no --image is given)."""
+    """Multi-person 2-D pose via the Perception facade (wrapper.py),
+    with the in-repo trained fixture (or a synthetic scene when no
+    --image is given)."""
     import jax
-    import jax.numpy as jnp
 
-    from perception_tpu.models.pose import extract_people
     from perception_tpu.models.pose_fixture import (
         FIXTURE_HW,
+        FIXTURE_TOPOLOGY,
         fixture_available,
-        load_fixture,
-        tiny_posenet,
     )
     from perception_tpu.utils.profiler import MetricsLog
+    from perception_tpu.wrapper import (
+        Perception,
+        WrapperStructInput,
+        WrapperStructOutput,
+        WrapperStructPose,
+    )
 
     log = MetricsLog()
     if not fixture_available():
         raise SystemExit("trained fixture missing; run tools/train_pose_fixture.py")
-    params = load_fixture()
     if args.image:
         import cv2
 
@@ -226,16 +229,28 @@ def cmd_pose(args) -> None:
 
         scene = sample_skeletons(jax.random.key(args.seed), FIXTURE_HW)
         img = np.asarray(render_people(scene, FIXTURE_HW))
-    ppl = extract_people(
-        params, jnp.asarray(img), topology="MPI_15", net_hw=FIXTURE_HW,
-        net=tiny_posenet(), peak_threshold=0.2, min_person_parts=5,
-    )
-    n = int(np.asarray(ppl.mask).sum())
-    log.emit(people=n, scores=[round(float(s), 3) for s in np.asarray(ppl.score)[:n]])
-    if args.out_json:
-        from perception_tpu.io.savers import save_people_json
 
-        save_people_json(args.out_json, np.asarray(ppl.keypoints), np.asarray(ppl.mask))
+    out_dir = None
+    if args.out_json:
+        from pathlib import Path
+
+        out_dir = str(Path(args.out_json).parent / "_cli_pose_json")
+    engine = Perception(
+        pose=WrapperStructPose(topology=FIXTURE_TOPOLOGY, net_hw=FIXTURE_HW),
+        input=WrapperStructInput(source=[img]),
+        output=WrapperStructOutput(json_dir=out_dir),
+    )
+    for datum in engine.exec():
+        ppl = datum.people
+        n = int(np.asarray(ppl.mask).sum())
+        log.emit(people=n,
+                 scores=[round(float(s), 3) for s in np.asarray(ppl.score)[:n]])
+        if args.out_json:
+            from perception_tpu.io.savers import save_people_json
+
+            save_people_json(
+                args.out_json, np.asarray(ppl.keypoints), np.asarray(ppl.mask)
+            )
 
 
 def cmd_bench(args) -> None:

@@ -177,3 +177,34 @@ class ImageDirectoryReader:
                 if img.ndim == 3:
                     img = img[..., ::-1]
                 yield float(i), np.ascontiguousarray(img)
+
+
+def paced(frames, target_fps: float, drop: bool = True):
+    """fps-keeping wrapper over a (timestamp, frame) iterator.
+
+    The reference ``Producer`` paces reads to the source fps and drops
+    frames when the consumer lags (producer.cpp fps-keeping). For
+    faster-than-real-time sources (directory/video decode) this sleeps
+    to hold ``target_fps``; when the consumer is slower than the
+    target and ``drop`` is set, backlogged frames are skipped so the
+    stream stays live instead of drifting behind.
+    """
+    import time as _time
+
+    period = 1.0 / float(target_fps)
+    t_next = None
+    for t, frame in frames:
+        now = _time.monotonic()
+        if t_next is None:
+            t_next = now
+        if now < t_next:
+            _time.sleep(t_next - now)
+        elif drop and now - t_next > period:
+            # Consumer lagged more than one period: drop this frame to
+            # catch up (count full periods missed).
+            missed = int((now - t_next) / period)
+            t_next += period * missed
+            if missed > 0:
+                continue
+        t_next += period
+        yield t, frame

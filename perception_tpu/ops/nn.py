@@ -72,10 +72,18 @@ def nearest_neighbor(
             t + 1,
         ), None
 
-    # Derive the init carry from query data so its sharding "varying"
-    # axes match the body output under shard_map (see jax shard-map
-    # scan-vma semantics).
-    init = (q_sq * 0 + _BIG, (q_sq * 0).astype(jnp.int32), jnp.int32(0))
+    # Derive the init carry from BOTH query and ref data so its
+    # sharding "varying" axes match the body output under shard_map
+    # regardless of which operand is the sharded one (see jax
+    # shard-map scan-vma semantics): a query-only init breaks when ref
+    # rides a mesh axis (parallel/map_dist.py), a ref-only init breaks
+    # the point-sharded case (parallel/icp_dist.py).
+    rz = jnp.sum(ref_p[0]) * 0.0
+    init = (
+        q_sq * 0 + rz + _BIG,
+        (q_sq * 0 + rz).astype(jnp.int32),
+        jnp.int32(0),
+    )
     (best_d2, best_idx, _), _ = jax.lax.scan(body, init, ref_tiles)
     best_d2 = jnp.maximum(best_d2, 0.0)  # numerical floor
     return best_idx, best_d2

@@ -66,6 +66,9 @@ class VoxelHash(NamedTuple):
                            # candidates-on-sublanes layout the query
                            # kernel slices; padding rows are SENTINEL
                            # coords (their d2 is ~1e12, never winning)
+    tableT: jax.Array      # (8, Npad) transposed copy for the
+                           # HBM-streaming large-table kernel (DMA
+                           # slices must be 128-aligned on lanes)
     cell_ids: jax.Array    # (N,) int32 sorted
     origin: jax.Array      # (3,)
     cell_size: jax.Array   # ()
@@ -116,6 +119,7 @@ def build(ref: jax.Array, ref_mask: jax.Array, cell_size: float) -> VoxelHash:
     return VoxelHash(
         points=pts_sorted,
         table=table,
+        tableT=table.T,
         cell_ids=sorted_ids,
         origin=origin,
         cell_size=cell_size,
@@ -137,7 +141,7 @@ def sort_by_cell(vh: VoxelHash, pts: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pts[order], order
 
 
-def _tile_ranges(vh: VoxelHash, q_pad, nq, tile, R, rblk):
+def _tile_ranges(vh: VoxelHash, q_pad, nq, tile, R, rblk, align: int = 8):
     """Per-tile contiguous candidate range in the sorted table.
 
     Correct for ANY query order (min/max over the tile's real cell
@@ -169,17 +173,113 @@ def _tile_ranges(vh: VoxelHash, q_pad, nq, tile, R, rblk):
     ends = jnp.searchsorted(vh.cell_ids, hi, method="sort").astype(jnp.int32)
 
     npad = vh.table.shape[0]
-    # 8-aligned starts (f32 sublane tiling); one 8-slot of slack covers
-    # the down-quantization so the range tail is never cut.
-    start8 = jnp.clip(starts, 0, max(npad - rblk, 0)) & ~jnp.int32(7)
-    span = jnp.minimum(ends, npad) - start8
+    # Aligned starts (8 = f32 sublane tiling for the VMEM kernel; 128 =
+    # lane tiling for the HBM-streaming kernel, whose DMA offsets must
+    # be PROVABLY lane-aligned — they are passed in units of ``align``
+    # and multiplied by the constant inside the kernel). One align-unit
+    # of slack covers the down-quantization so the range tail is never
+    # cut.
+    start_a = (jnp.clip(starts, 0, max(npad - rblk, 0)) // align) * align
+    span = jnp.minimum(ends, npad) - start_a
     nchunk = jnp.clip(-(-span // rblk), 1, R // rblk)
-    nchunk = jnp.minimum(nchunk, (npad - start8) // rblk)
+    nchunk = jnp.minimum(nchunk, (npad - start_a) // rblk)
     nchunk = jnp.maximum(nchunk, 1).astype(jnp.int32)
-    overflow = jnp.sum(((ends - starts) > (R - 8)) & (maxcid >= 0)) / jnp.maximum(
+    overflow = jnp.sum(((ends - starts) > (R - align)) & (maxcid >= 0)) / jnp.maximum(
         jnp.sum(maxcid >= 0), 1
     )
-    return start8.astype(jnp.int32), nchunk, overflow
+    return (start_a // align).astype(jnp.int32), nchunk, overflow
+
+
+# Above this table size the whole-table-in-VMEM kernel is replaced by
+# the HBM-streaming variant: multiple VMEM-resident pallas calls with
+# >= ~64k-row operands in one XLA computation crash the TPU compiler
+# (measured: standalone query fine at 132k rows, two calls in one jit
+# crash at 65k), and the in-ICP use runs one call per GN iteration.
+_VMEM_TABLE_MAX = 49152
+
+
+def _query_kernel_pallas_stream(vh, qT, start8, nchunk, tile, rblk):
+    """Large-table TPU kernel: the table stays in HBM as its (8, Npad)
+    transposed copy (lane-dim DMA slices must be 128-aligned); each
+    chunk of a tile's candidate range is DMA'd into a VMEM scratch
+    inside the dynamic chunk loop. Queries ride sublanes here and
+    candidates lanes — the lane-axis argmin is pricier than the VMEM
+    kernel's sublane reduce, but the large-map regime has small
+    per-tile work (a few thousand source points against each range).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nqp = qT.shape[1]
+    ntiles = nqp // tile
+    q_rows = qT.T  # (nqp, 8) — queries on sublanes
+
+    def kernel(start_ref, nchunk_ref, q_ref, tab_ref, d2_ref, idx_ref,
+               pbuf, sem):
+        i = pl.program_id(0)
+        q = q_ref[:]    # (tile, 8)
+        start = start_ref[i]
+
+        def body(c, carry):
+            dmin, imin = carry
+            # start rides in 128-lane units so Mosaic can PROVE the
+            # dynamic DMA offset is tile-aligned.
+            off = start * 128 + c * rblk
+            dma = pltpu.make_async_copy(
+                tab_ref.at[:, pl.ds(off, rblk)], pbuf, sem
+            )
+            dma.start()
+            dma.wait()
+            p = pbuf[:]                                   # (8, rblk)
+            dx = q[:, 0:1] - p[0, :][None, :]
+            dy = q[:, 1:2] - p[1, :][None, :]
+            dz = q[:, 2:3] - p[2, :][None, :]
+            d2 = dx * dx + dy * dy + dz * dz              # (tile, rblk)
+            cmin = jnp.min(d2, axis=1)[None, :]           # (1, tile)
+            lnl = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            cloc = jnp.min(
+                jnp.where(d2 <= cmin[0][:, None], lnl, jnp.int32(2**31 - 1)),
+                axis=1,
+            )[None, :]
+            gidx = off + cloc
+            better = cmin < dmin
+            return (jnp.where(better, cmin, dmin),
+                    jnp.where(better, gidx, imin))
+
+        dmin0 = jnp.full((1, tile), 4.0e12, jnp.float32)
+        imin0 = jnp.zeros((1, tile), jnp.int32)
+        dmin, imin = jax.lax.fori_loop(0, nchunk_ref[i], body, (dmin0, imin0))
+        d2_ref[:] = dmin
+        idx_ref[:] = imin
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 8), lambda i, s, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # (8, Npad) in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, s, c: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, s, c: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, rblk), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    d2, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, nqp), jnp.float32),
+            jax.ShapeDtypeStruct((1, nqp), jnp.int32),
+        ],
+    )(start8, nchunk, q_rows, vh.tableT)
+    return idx[0], d2[0]
 
 
 def _query_kernel_pallas(vh, qT, start8, nchunk, tile, rblk):
@@ -188,13 +288,16 @@ def _query_kernel_pallas(vh, qT, start8, nchunk, tile, rblk):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if vh.table.shape[0] > _VMEM_TABLE_MAX:
+        return _query_kernel_pallas_stream(vh, qT, start8, nchunk, tile, rblk)
+
     nqp = qT.shape[1]
     ntiles = nqp // tile
 
     def kernel(start_ref, nchunk_ref, qT_ref, tab_ref, d2_ref, idx_ref):
         i = pl.program_id(0)
         q = qT_ref[:]   # (8, T)
-        start = start_ref[i]
+        start = start_ref[i] * 8  # units of the sublane alignment
 
         def body(c, carry):
             dmin, imin = carry
@@ -349,15 +452,21 @@ def query(
         q_use = queries
     q_pad = jnp.pad(q_use, ((0, pad), (0, 0)), constant_values=SENTINEL)
 
-    start8, nchunk, overflow = _tile_ranges(vh, q_pad, nq, tile, R, rblk)
+    stream = vh.table.shape[0] > _VMEM_TABLE_MAX
+    align = 128 if stream else 8
+    start_u, nchunk, overflow = _tile_ranges(
+        vh, q_pad, nq, tile, R, rblk, align=align
+    )
 
     if jax.default_backend() == "tpu":
         nqp = nq + pad
         qT = jnp.zeros((8, nqp), q_pad.dtype)
         qT = qT.at[:3].set(q_pad.T)
-        idx, d2 = _query_kernel_pallas(vh, qT, start8, nchunk, tile, rblk)
+        idx, d2 = _query_kernel_pallas(vh, qT, start_u, nchunk, tile, rblk)
     else:
-        idx, d2 = _query_kernel_xla(vh, q_pad, start8, nchunk, tile, R, rblk)
+        idx, d2 = _query_kernel_xla(
+            vh, q_pad, start_u * align, nchunk, tile, R, rblk
+        )
 
     n = vh.points.shape[0]
     idx = jnp.minimum(idx[:nq], n - 1)
