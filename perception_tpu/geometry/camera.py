@@ -26,6 +26,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@dataclasses.dataclass(frozen=True)
+class CameraInfo:
+    """Full-resolution sensor description (sensor_msgs/CameraInfo): the
+    calibrated intrinsics plus the capture-time binning/ROI state.
+    ``PinholeCamera.from_camera_info`` converts this to the operational
+    model (pinhole_camera_model.cpp:84-194)."""
+
+    K: tuple                      # 9 floats, row-major, FULL resolution
+    width: int
+    height: int
+    D: tuple | None = None        # plumb_bob (5) / rational (8) or None
+    binning_x: int = 1
+    binning_y: int = 1
+    roi: Tuple[int, int, int, int] = (0, 0, 0, 0)  # x_off, y_off, w, h
+                                                   # (0,0,0,0) = full
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class PinholeCamera:
@@ -64,6 +81,39 @@ class PinholeCamera:
             if d.shape[0] not in (5, 8):
                 raise ValueError("dist must be plumb_bob (5) or rational_polynomial (8)")
         return cls(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2], dist=d, width=width, height=height)
+
+    @classmethod
+    def from_camera_info(cls, info: "CameraInfo") -> "PinholeCamera":
+        """Build the OPERATIONAL model from a full-resolution CameraInfo
+        with binning and ROI, mirroring ``fromCameraInfo``
+        (pinhole_camera_model.cpp:84-194):
+
+          * the ROI offsets shift the principal point (the model works
+            in ROI-local pixels);
+          * binning divides the focal lengths, principal point, and
+            image size (binning_x scales u, binning_y scales v);
+          * the resulting width/height describe the delivered
+            (ROI-cropped, binned) image.
+        """
+        bx = max(info.binning_x, 1)
+        by = max(info.binning_y, 1)
+        rx, ry, rw, rh = info.roi
+        if rw == 0 and rh == 0:          # empty ROI = full resolution
+            rw, rh = info.width, info.height
+        if rx + rw > info.width or ry + rh > info.height:
+            raise ValueError(f"ROI {info.roi} exceeds {info.width}x{info.height}")
+        K = np.asarray(info.K, np.float64).reshape(3, 3)
+        fx = (K[0, 0]) / bx
+        fy = (K[1, 1]) / by
+        cx = (K[0, 2] - rx) / bx
+        cy = (K[1, 2] - ry) / by
+        return cls(
+            fx=jnp.float32(fx), fy=jnp.float32(fy),
+            cx=jnp.float32(cx), cy=jnp.float32(cy),
+            dist=jnp.asarray(info.D, jnp.float32)
+            if info.D is not None else jnp.zeros(5, jnp.float32),
+            width=rw // bx, height=rh // by,
+        )
 
     @classmethod
     def d435_color(cls) -> "PinholeCamera":
@@ -188,6 +238,47 @@ class PinholeCamera:
         inb = ((x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1))[..., None]
         out = jnp.where(inb, out, 0.0)
         return out[..., 0] if squeeze else out
+
+    def rectify_roi(self, roi) -> Tuple[int, int, int, int]:
+        """Raw-image ROI -> the tightest ROI in the rectified image
+        containing it (pinhole_camera_model.cpp:371-412 semantics:
+        rectify the ROI's border and take the bounding rectangle).
+
+        Samples the four edges (the distortion is monotone enough along
+        edges that corners alone under-cover barrel distortion, exactly
+        why the reference walks the border)."""
+        x, y, w, h = roi
+        n = 16
+        ts = jnp.linspace(0.0, 1.0, n)
+        top = jnp.stack([x + ts * w, jnp.full((n,), float(y))], axis=-1)
+        bot = jnp.stack([x + ts * w, jnp.full((n,), float(y + h))], axis=-1)
+        left = jnp.stack([jnp.full((n,), float(x)), y + ts * h], axis=-1)
+        right = jnp.stack([jnp.full((n,), float(x + w)), y + ts * h], axis=-1)
+        border = jnp.concatenate([top, bot, left, right], axis=0)
+        rect = self.rectify_point(border)
+        x0 = int(jnp.floor(jnp.min(rect[:, 0])))
+        y0 = int(jnp.floor(jnp.min(rect[:, 1])))
+        x1 = int(jnp.ceil(jnp.max(rect[:, 0])))
+        y1 = int(jnp.ceil(jnp.max(rect[:, 1])))
+        return (x0, y0, x1 - x0, y1 - y0)
+
+    def unrectify_roi(self, roi) -> Tuple[int, int, int, int]:
+        """Rectified-image ROI -> bounding raw-image ROI (the inverse
+        walk, using the forward distortion)."""
+        x, y, w, h = roi
+        n = 16
+        ts = jnp.linspace(0.0, 1.0, n)
+        top = jnp.stack([x + ts * w, jnp.full((n,), float(y))], axis=-1)
+        bot = jnp.stack([x + ts * w, jnp.full((n,), float(y + h))], axis=-1)
+        left = jnp.stack([jnp.full((n,), float(x)), y + ts * h], axis=-1)
+        right = jnp.stack([jnp.full((n,), float(x + w)), y + ts * h], axis=-1)
+        border = jnp.concatenate([top, bot, left, right], axis=0)
+        raw = self.unrectify_point(border)
+        x0 = int(jnp.floor(jnp.min(raw[:, 0])))
+        y0 = int(jnp.floor(jnp.min(raw[:, 1])))
+        x1 = int(jnp.ceil(jnp.max(raw[:, 0])))
+        y1 = int(jnp.ceil(jnp.max(raw[:, 1])))
+        return (x0, y0, x1 - x0, y1 - y0)
 
     # -- depth backprojection ---------------------------------------------
     def backproject_depth(

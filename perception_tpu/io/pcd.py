@@ -128,3 +128,82 @@ def write_pcd(path: Union[str, Path], points: np.ndarray, binary: bool = False) 
             f.write(points.tobytes())
         else:
             np.savetxt(f, points, fmt="%f")
+
+
+def read_ply(path: Union[str, Path]) -> np.ndarray:
+    """Read xyz from a PLY file (ascii or binary_little_endian) ->
+    float32 (N, 3).
+
+    Covers the viewer input of the reference
+    (object_detection/scripts/ply_viewer.py:1-9, which hands
+    merged_cloud.ply to open3d); extra per-vertex properties are
+    skipped, non-vertex elements ignored.
+    """
+    path = Path(path)
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n_vertex = 0
+        props = []          # (name, dtype) of the vertex element
+        in_vertex = False
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated PLY header")
+            tok = line.decode("ascii", "replace").strip().split()
+            if not tok:
+                continue
+            if tok[0] == "format":
+                fmt = tok[1]
+            elif tok[0] == "element":
+                in_vertex = tok[1] == "vertex"
+                if in_vertex:
+                    n_vertex = int(tok[2])
+            elif tok[0] == "property" and in_vertex:
+                if tok[1] == "list":
+                    raise ValueError("list property in vertex element")
+                props.append((tok[2], tok[1]))
+            elif tok[0] == "end_header":
+                break
+        type_map = {
+            "float": "<f4", "float32": "<f4", "double": "<f8",
+            "float64": "<f8", "uchar": "u1", "uint8": "u1",
+            "char": "i1", "int8": "i1", "short": "<i2", "ushort": "<u2",
+            "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+        }
+        names = [n for n, _ in props]
+        for axis in ("x", "y", "z"):
+            if axis not in names:
+                raise ValueError(f"{path}: vertex element lacks '{axis}'")
+        if fmt == "ascii":
+            rows = []
+            for _ in range(n_vertex):
+                vals = f.readline().split()
+                rows.append([float(vals[names.index(a)]) for a in ("x", "y", "z")])
+            return np.asarray(rows, np.float32)
+        if fmt == "binary_little_endian":
+            dt = np.dtype([(n, type_map[t]) for n, t in props])
+            data = np.frombuffer(f.read(dt.itemsize * n_vertex), dt, n_vertex)
+            return np.stack(
+                [data["x"], data["y"], data["z"]], axis=-1
+            ).astype(np.float32)
+        raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+
+def write_ply(path: Union[str, Path], points: np.ndarray,
+              binary: bool = False) -> None:
+    """Write an xyz cloud as PLY (ascii or binary_little_endian)."""
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    header = (
+        "ply\nformat {}\nelement vertex {}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+    ).format("binary_little_endian 1.0" if binary else "ascii 1.0",
+             len(points))
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        if binary:
+            f.write(points.astype("<f4").tobytes())
+        else:
+            np.savetxt(f, points, fmt="%f")

@@ -79,10 +79,13 @@ class OdometryConfig:
     map_voxel: float = 0.02           # fusion dedup leaf (m)
     map_nn_radius: float = 0.06       # correspondence radius in map mode
     # Correspondence engine in map mode. "auto" picks by the measured
-    # r4 crossover (BENCH nn_crossover, warm path): the MXU distance-
-    # tile brute force ties the hash up to ~16k map points; beyond that
-    # the blocked voxel hash wins and keeps winning (5.9x at a full
-    # frame vs 32k, 9.2x vs 131k). "brute"/"hash" force a path.
+    # r4 IN-SYSTEM crossover (slam_bench map mode): although the
+    # standalone NN op favors the hash from ~16k points (nn_crossover:
+    # 6.2x at a 640x480 frame vs 32k), inside the fused odometry step
+    # the brute path stays ahead through 64k (137.6 vs 81.0 fps at
+    # equal map budget — the hash pays a per-frame build sort + source
+    # sort that the op-level bench amortizes, and XLA fuses the brute
+    # distance tiles into the GN body). "brute"/"hash" force a path.
     map_nn: str = "auto"
     # Keyframe promotion thresholds
     kf_translation: float = 0.15      # meters
@@ -230,7 +233,7 @@ def odometry_step(
         from perception_tpu.ops import voxelhash
 
         use_hash = cfg.map_nn == "hash" or (
-            cfg.map_nn == "auto" and cfg.map_budget > 16384
+            cfg.map_nn == "auto" and cfg.map_budget > 65536
         )
         r2 = cfg.map_nn_radius**2
         if use_hash:

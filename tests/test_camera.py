@@ -87,3 +87,115 @@ def test_depth_from_u16_tum_convention():
     assert np.isnan(d[0, 1])
     assert d[1, 0] == 2.0
     assert d[1, 1] == 0.5
+
+
+class TestCameraInfoBinningRoi:
+    """fromCameraInfo with binning/ROI (pinhole_camera_model.cpp:84-194)
+    and ROI rectification (:371-412), on the D435 color intrinsics
+    (reference README.md:39-80)."""
+
+    K = (616.8246459960938, 0.0, 321.81976318359375,
+         0.0, 616.609375, 239.91116333007812,
+         0.0, 0.0, 1.0)
+
+    def test_full_resolution_passthrough(self):
+        from perception_tpu.geometry.camera import CameraInfo, PinholeCamera
+
+        info = CameraInfo(K=self.K, width=640, height=480)
+        cam = PinholeCamera.from_camera_info(info)
+        assert (cam.width, cam.height) == (640, 480)
+        np.testing.assert_allclose(float(cam.fx), self.K[0], rtol=1e-6)
+        np.testing.assert_allclose(float(cam.cx), self.K[2], rtol=1e-6)
+
+    def test_binning_halves_model(self):
+        from perception_tpu.geometry.camera import CameraInfo, PinholeCamera
+
+        info = CameraInfo(K=self.K, width=640, height=480,
+                          binning_x=2, binning_y=2)
+        cam = PinholeCamera.from_camera_info(info)
+        full = PinholeCamera.from_K(self.K)
+        assert (cam.width, cam.height) == (320, 240)
+        # The same 3-D point lands at half the full-res pixel coords.
+        pt = jnp.asarray([0.2, -0.1, 1.5])
+        uv_full = np.asarray(full.project(pt))
+        uv_bin = np.asarray(cam.project(pt))
+        np.testing.assert_allclose(uv_bin, uv_full / 2.0, rtol=1e-5)
+
+    def test_roi_shifts_principal_point(self):
+        from perception_tpu.geometry.camera import CameraInfo, PinholeCamera
+
+        roi = (96, 64, 320, 240)
+        info = CameraInfo(K=self.K, width=640, height=480, roi=roi)
+        cam = PinholeCamera.from_camera_info(info)
+        full = PinholeCamera.from_K(self.K)
+        assert (cam.width, cam.height) == (320, 240)
+        pt = jnp.asarray([0.05, 0.02, 1.0])
+        uv_full = np.asarray(full.project(pt))
+        uv_roi = np.asarray(cam.project(pt))
+        np.testing.assert_allclose(uv_roi, uv_full - np.asarray(roi[:2]), rtol=1e-5)
+
+    def test_roi_plus_binning_roundtrip(self):
+        from perception_tpu.geometry.camera import CameraInfo, PinholeCamera
+
+        info = CameraInfo(K=self.K, width=640, height=480,
+                          binning_x=2, binning_y=2, roi=(64, 32, 512, 384))
+        cam = PinholeCamera.from_camera_info(info)
+        assert (cam.width, cam.height) == (256, 192)
+        # project o pixel_to_ray = identity in the reduced image.
+        uv = jnp.asarray([[10.0, 20.0], [100.0, 150.0], [255.0, 191.0]])
+        ray = cam.pixel_to_ray(uv)
+        uv2 = cam.project(ray * 2.0)
+        np.testing.assert_allclose(np.asarray(uv2), np.asarray(uv), atol=1e-4)
+
+    def test_roi_exceeding_sensor_rejected(self):
+        import pytest
+
+        from perception_tpu.geometry.camera import CameraInfo, PinholeCamera
+
+        info = CameraInfo(K=self.K, width=640, height=480,
+                          roi=(400, 0, 320, 240))
+        with pytest.raises(ValueError, match="ROI"):
+            PinholeCamera.from_camera_info(info)
+
+    def test_rectify_roi_vs_cv2(self):
+        import pytest
+
+        cv2 = pytest.importorskip("cv2")
+        from perception_tpu.geometry.camera import PinholeCamera
+
+        dist = (0.12, -0.05, 0.001, -0.002, 0.01)
+        cam = PinholeCamera.from_K(self.K, dist=dist)
+        roi = (100, 80, 200, 150)
+        rect = cam.rectify_roi(roi)
+        # cv2 oracle: undistort the same border points, take the bound.
+        x, y, w, h = roi
+        ts = np.linspace(0.0, 1.0, 16)
+        border = np.concatenate([
+            np.stack([x + ts * w, np.full(16, y)], -1),
+            np.stack([x + ts * w, np.full(16, y + h)], -1),
+            np.stack([np.full(16, x), y + ts * h], -1),
+            np.stack([np.full(16, x + w), y + ts * h], -1),
+        ]).astype(np.float64)
+        K = np.asarray(self.K).reshape(3, 3)
+        und = cv2.undistortPoints(border[:, None], K, np.asarray(dist),
+                                  P=K)[:, 0]
+        exp = (np.floor(und[:, 0].min()), np.floor(und[:, 1].min()),
+               np.ceil(und[:, 0].max()) - np.floor(und[:, 0].min()),
+               np.ceil(und[:, 1].max()) - np.floor(und[:, 1].min()))
+        assert abs(rect[0] - exp[0]) <= 1 and abs(rect[1] - exp[1]) <= 1
+        assert abs(rect[2] - exp[2]) <= 2 and abs(rect[3] - exp[3]) <= 2
+
+    def test_unrectify_roi_inverts(self):
+        from perception_tpu.geometry.camera import PinholeCamera
+
+        dist = (0.1, -0.02, 0.0, 0.0, 0.0)
+        cam = PinholeCamera.from_K(self.K, dist=dist)
+        roi = (150, 120, 160, 120)
+        rect = cam.rectify_roi(roi)
+        back = cam.unrectify_roi(rect)
+        # The round trip must contain the original ROI (bounding boxes
+        # only grow through the two walks).
+        assert back[0] <= roi[0] and back[1] <= roi[1]
+        assert back[0] + back[2] >= roi[0] + roi[2]
+        assert back[1] + back[3] >= roi[1] + roi[3]
+        assert back[2] <= roi[2] + 8 and back[3] <= roi[3] + 8

@@ -73,3 +73,28 @@ def test_cuboid_vertices_and_edges():
     # Each edge connects vertices differing in exactly one axis.
     for a, b in CUBOID_EDGES:
         assert (v[a] != v[b]).sum() == 1
+
+
+def test_ply_roundtrip(tmp_path):
+    """PLY read/write (reference ply_viewer.py input format), ascii and
+    binary, plus extra-property skipping."""
+    from perception_tpu.io.pcd import read_ply, write_ply
+
+    pts = np.random.RandomState(0).randn(57, 3).astype(np.float32)
+    for binary in (False, True):
+        p = tmp_path / f"c_{binary}.ply"
+        write_ply(p, pts, binary=binary)
+        back = read_ply(p)
+        np.testing.assert_allclose(back, pts, atol=1e-5)
+
+    # Extra per-vertex properties (e.g. color) are skipped.
+    p = tmp_path / "rgb.ply"
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat ascii 1.0\nelement vertex 2\n"
+                b"property float x\nproperty float y\nproperty float z\n"
+                b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                b"end_header\n"
+                b"1.0 2.0 3.0 255 0 0\n"
+                b"4.0 5.0 6.0 0 255 0\n")
+    back = read_ply(p)
+    np.testing.assert_allclose(back, [[1, 2, 3], [4, 5, 6]])
