@@ -108,10 +108,16 @@ def landmarks_from_crop(lm_params, patch, box):
     return decode_landmarks(maps, box)
 
 
-def evaluate(params, key, n_scenes: int = 16) -> Tuple[float, float, float]:
+def evaluate(params, key, n_scenes: int = 16, rot_range: float = 0.30,
+             z_range=(0.45, 0.75), pixel_noise: float = 0.0
+             ) -> Tuple[float, float, float]:
     """(mean landmark error in image px on GT crops, AU02 separation =
     min intensity on raised brows - max on neutral, mean detector IoU
-    vs the GT face box)."""
+    vs the GT face box).
+
+    ``rot_range``/``z_range``/``pixel_noise`` select held-out scene
+    families (training used the defaults and noise-free renders) for
+    the robustness evidence in FIXTURES.md."""
     from perception_tpu.models.face import iou as box_iou
     from perception_tpu.models.face_data import (
         crop_box_from_landmarks,
@@ -126,8 +132,15 @@ def evaluate(params, key, n_scenes: int = 16) -> Tuple[float, float, float]:
     for i in range(n_scenes):
         k = jax.random.fold_in(key, i)
         k1, k2 = jax.random.split(k)
-        scene = sample_face(k1, FIXTURE_HW, FIXTURE_FX, FIXTURE_FX)
+        scene = sample_face(k1, FIXTURE_HW, FIXTURE_FX, FIXTURE_FX,
+                            rot_range=rot_range, z_range=z_range)
         img = render_face(scene, FIXTURE_HW, key=k2)
+        if pixel_noise > 0.0:
+            img = jnp.clip(
+                img + jax.random.normal(jax.random.fold_in(k2, 99),
+                                        img.shape) * pixel_noise * 255.0,
+                0.0, 255.0,
+            )
         box = crop_box_from_landmarks(scene.landmarks2d)
         patch = crop_image(img, box, FIXTURE_CROP) / 255.0
         uv, m, _ = landmarks_from_crop(params["landmark"], patch, box)

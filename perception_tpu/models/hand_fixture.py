@@ -70,8 +70,11 @@ def extract_hand_tiny(params, image, box):
     return decode_landmarks(hm, box)
 
 
-def evaluate(params, key, n_scenes: int = 12) -> float:
-    """Mean landmark error (image px) over fresh scenes with GT boxes."""
+def evaluate(params, key, n_scenes: int = 12,
+             pixel_noise: float = 0.0) -> float:
+    """Mean landmark error (image px) over fresh scenes with GT boxes;
+    ``pixel_noise`` (fraction of full scale) selects held-out noisy
+    families for FIXTURES.md."""
     from perception_tpu.models.hand_data import hand_box, render_hand, sample_hand
 
     errs = []
@@ -80,6 +83,12 @@ def evaluate(params, key, n_scenes: int = 12) -> float:
         k1, k2 = jax.random.split(k)
         scene = sample_hand(k1, FIXTURE_HW)
         img = render_hand(scene, FIXTURE_HW, key=k2)
+        if pixel_noise > 0.0:
+            img = jnp.clip(
+                img + jax.random.normal(jax.random.fold_in(k2, 99),
+                                        img.shape) * pixel_noise * 255.0,
+                0.0, 255.0,
+            )
         uv, m, _ = extract_hand_tiny(params, img, hand_box(scene.joints))
         e = jnp.linalg.norm(uv - scene.joints, axis=-1)
         errs.append(float(jnp.mean(jnp.where(m, e, jnp.nan))))

@@ -85,11 +85,20 @@ def evaluate_pck(
     ``extract_people`` merges maps at net resolution (the reference's
     x8 resizeAndMerge), so keypoints arrive in image pixels already —
     up to the bilinear-resize half-pixel shift of (stride/2 - 0.5)."""
-    net = tiny_posenet()
     batch = make_batch(key, n_scenes, FIXTURE_HW)
-    images = np.asarray(batch["image"])
-    scenes = batch["scene"]
+    return pck_on_images(
+        params, np.asarray(batch["image"]), batch["scene"],
+        tol_px=tol_px, stride=stride,
+    )
 
+
+def pck_on_images(params, images, scenes, tol_px: float = 10.0,
+                  stride: int = 8):
+    """PCK/recall on caller-provided (images, SkeletonScene batch) —
+    the held-out-family robustness harness (tools/fixtures_robustness)
+    feeds generator families the training run never produced."""
+    n_scenes = images.shape[0]
+    net = tiny_posenet()
     hits = total = found_people = total_people = 0
     for i in range(n_scenes):
         ppl = extract_people(
