@@ -160,7 +160,8 @@ def segment_ground_plane(
     m = P.passthrough(points, m, 0, *config.x_limits)
     cpts, cm = P.compact(points, m, config.pre_capacity)
     dpts0, dm0 = P.voxel_downsample(cpts, cm, config.voxel_size)
-    dpts, dm = P.compact(dpts0, dm0, config.work_capacity)
+    # voxel_downsample emits a prefix mask -> gather-only compaction.
+    dpts, dm = P.compact_prefix(dpts0, dm0, config.work_capacity)
     fit = ransac_plane(
         dpts,
         dm,

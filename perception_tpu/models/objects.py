@@ -102,7 +102,8 @@ def detect_object(
     if dpts.shape[0] > config.work_capacity:
         cnt = jnp.sum(dm, dtype=jnp.float32)
         keep_ratio = jnp.minimum(1.0, config.work_capacity / jnp.maximum(cnt, 1.0))
-        dpts, dm = P.compact(dpts, dm, config.work_capacity)
+        # voxel_downsample emits a prefix mask -> gather-only compaction.
+        dpts, dm = P.compact_prefix(dpts, dm, config.work_capacity)
     plane = ransac_plane(
         dpts, dm, key, threshold=config.ransac_threshold,
         num_hypotheses=config.ransac_hypotheses,

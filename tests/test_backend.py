@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perception_tpu.geometry import se3
 from perception_tpu.models.slam.backend import (
@@ -129,6 +130,7 @@ def test_pose_graph_closes_loop():
     assert gap_after < gap_before * 0.5
 
 
+@pytest.mark.slow
 def test_pose_graph_scales_to_256_nodes():
     # VERDICT r1 item 8: per-edge Jacobian blocks + scatter assembly
     # must handle N=256 (the old dense jacfwd materialized (6E, 6N)).

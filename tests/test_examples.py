@@ -8,6 +8,9 @@ from pathlib import Path
 
 import pytest
 
+# Long e2e sweeps: run with `-m slow` (core suite excludes them).
+pytestmark = pytest.mark.slow
+
 EXAMPLES = sorted((Path(__file__).parent.parent / "examples").glob("[0-9]*.py"))
 
 

@@ -30,9 +30,9 @@ from perception_tpu.models.face_data import (
 )
 from perception_tpu.models.hand import crop_image
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not FF.fixture_available(), reason="face fixture not trained"
-)
+)]
 
 HW = FF.FIXTURE_HW
 FX = FF.FIXTURE_FX

@@ -53,6 +53,7 @@ class TestGradCheck:
 
         check_grad(f, np.array([0.1, -0.2, 0.3, 0.05, -0.02, 0.4]))
 
+    @pytest.mark.slow
     def test_body_fk(self):
         from perception_tpu.models.body_fit import BodyModel, forward_kinematics
 

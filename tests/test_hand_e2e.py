@@ -13,9 +13,9 @@ from perception_tpu.models import hand_fixture as HF
 from perception_tpu.models.hand import hand_roi_from_pose
 from perception_tpu.models.hand_data import hand_box, render_hand, sample_hand
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not HF.fixture_available(), reason="hand fixture not trained"
-)
+)]
 
 
 def test_hand_landmarks_from_pixels():

@@ -100,6 +100,7 @@ def test_surface_frame_orthonormal():
     assert abs(origin[0] - 0.08) < 0.05 and abs(origin[1] - 0.04) < 0.05
 
 
+@pytest.mark.slow
 def test_detect_object_finds_cluster():
     # Objects 4 cm above the table so plane removal doesn't eat their
     # bottom faces (which would shrink clusters vs the template count —
@@ -118,6 +119,7 @@ def test_detect_object_finds_cluster():
     assert min(dts) < 0.08
 
 
+@pytest.mark.slow
 def test_detect_object_fails_on_size_gate():
     pts, mask, tmpl, gts = tabletop_scene()
     tm = jnp.ones(len(tmpl), bool)

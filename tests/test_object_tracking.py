@@ -25,6 +25,9 @@ from benchmarks.tracking_scene import (
     render_depth_cuboids,
 )
 
+# Long e2e sweeps: run with `-m slow` (core suite excludes them).
+pytestmark = pytest.mark.slow
+
 K = 3
 
 

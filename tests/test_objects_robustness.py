@@ -23,6 +23,9 @@ from perception_tpu.geometry.camera import PinholeCamera
 from perception_tpu.io.gt_transforms import load_gt_transforms, save_gt_transforms
 from perception_tpu.models.objects import ObjectConfig, detect_object
 
+# Long e2e sweeps: run with `-m slow` (core suite excludes them).
+pytestmark = pytest.mark.slow
+
 
 def _half_camera() -> PinholeCamera:
     cam = dataclasses.replace(

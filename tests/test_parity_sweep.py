@@ -7,6 +7,9 @@ import pytest
 
 from perception_tpu.geometry.camera import PinholeCamera
 
+# Long e2e sweeps: run with `-m slow` (core suite excludes them).
+pytestmark = pytest.mark.slow
+
 
 class TestRectifyImage:
     def _distorted_camera(self):

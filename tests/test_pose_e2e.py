@@ -16,9 +16,9 @@ from perception_tpu.models.pose_fixture import (
     load_fixture,
 )
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not fixture_available(), reason="pose fixture not trained"
-)
+)]
 
 
 def test_trained_net_recovers_skeletons_from_images():

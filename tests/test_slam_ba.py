@@ -17,6 +17,10 @@ from perception_tpu.models.slam.system import run_slam, slam_init, slam_step
 from perception_tpu.geometry import se3
 
 from tests.test_slam_system import cam, make_seq, out_and_back_trajectory, slam_cfg
+import pytest
+
+# Long e2e sweeps: run with `-m slow` (core suite excludes them).
+pytestmark = pytest.mark.slow
 
 
 def test_ba_fires_in_live_system_and_reduces_reprojection():

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perception_tpu.geometry import se3
 from perception_tpu.geometry.camera import PinholeCamera
@@ -96,6 +97,7 @@ def slam_cfg():
     )
 
 
+@pytest.mark.slow
 def test_slam_tracks_and_promotes():
     camera = cam()
     gt = out_and_back_trajectory()
@@ -173,6 +175,7 @@ def test_loop_closure_fires_and_correction_reduces_ate():
     assert err_after < err_before * 0.5, (err_before, err_after)
 
 
+@pytest.mark.slow
 def test_keyframe_ring_evicts_oldest_and_drops_stale_edges():
     # VERDICT r1 item 7: the store must wrap (evicting the oldest
     # keyframe), not saturate, and edges touching a recycled slot must
@@ -239,6 +242,7 @@ def test_slam_step_jits_once():
     assert np.isfinite(float(diag.overlap))
 
 
+@pytest.mark.slow
 def test_in_step_correction_matches_host_mode():
     """cfg.correct_in_step (pose-graph GN fused into slam_step under
     lax.cond) must produce the same trajectory as the legacy
@@ -271,6 +275,7 @@ def test_in_step_correction_matches_host_mode():
     )
 
 
+@pytest.mark.slow
 def test_loop_closure_reduces_organic_drift():
     """VERDICT r2 weak 5: correction must beat no-correction on the SAME
     sequence with organically accumulated odometry drift (the injected-
