@@ -32,6 +32,7 @@ def test_mesh_shapes():
         make_mesh(dp=3, sp=2)
 
 
+@pytest.mark.slow
 def test_distributed_icp_recovers_poses(mesh):
     B, N = 8, 1024  # B divisible by dp=4, N by sp=2
     target = structured_cloud(jax.random.key(0), 2048)

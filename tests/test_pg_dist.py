@@ -5,6 +5,7 @@ single-device solver; async block-Jacobi relaxation converges.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perception_tpu.geometry import se3
 from perception_tpu.models.slam.backend import PoseGraph, optimize_pose_graph
@@ -51,6 +52,7 @@ def ring_graph(key, N=16, E=48, noise=0.02, drift=0.05):
     ), true
 
 
+@pytest.mark.slow
 def test_sharded_pose_graph_matches_single_device():
     mesh = make_mesh(dp=4, sp=2, devices=jax.devices()[:8])
     graph, _ = ring_graph(jax.random.key(0), N=12, E=48)
@@ -75,6 +77,7 @@ def test_sharded_pose_graph_matches_single_device():
     np.testing.assert_allclose(np.asarray(c1), np.asarray(ref_c1), rtol=1e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_async_relaxer_reduces_cost_toward_gn():
     mesh = make_mesh(dp=4, sp=2, devices=jax.devices()[:8])
     graph, true = ring_graph(jax.random.key(1), N=16, E=48, drift=0.04)
