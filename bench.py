@@ -29,6 +29,9 @@ REPEATS = 3
 def _timed_fps(dispatch, n_items: int, repeats: int = REPEATS):
     """Median frames/s of `dispatch()` (which enqueues n_items frames
     and blocks); returns (median_fps, spread_pct, per_run)."""
+    dispatch()  # full warm pass: the first sweep through the frame set
+    #             still pays residual autotune/queue ramp (measured 123
+    #             vs 293 fps on pass 1 vs 2-3 under the honest drain)
     runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -170,3 +170,95 @@ def calibrate_camera(
     K = intrinsics_zhang(Hs)
     Ts = jax.vmap(lambda H: extrinsics_from_homography(K, H))(Hs)
     return K, Ts
+
+
+def joint_extrinsics_refine(
+    T_rig_cam: jax.Array,     # (C, 4, 4) rig <- camera initial extrinsics
+    T_rig_board: jax.Array,   # (B, 4, 4) rig <- board initial poses
+    Ks: jax.Array,            # (C, 3, 3) per-camera intrinsics
+    obj_pts: jax.Array,       # (P, 3) board-frame corner points
+    obs_uv: jax.Array,        # (C, B, P, 2) detected corners
+    obs_mask: jax.Array,      # (C, B) board visible in camera
+    iterations: int = 10,
+    damping: float = 1e-4,
+    huber_px: float = 2.0,
+):
+    """Joint bundle-adjustment-flavored refinement of a multi-camera
+    rig: ALL camera extrinsics and ALL board poses optimized together
+    over every corner reprojection (the reference's
+    ``cameraParameterEstimation.cpp`` refinement stage, after its
+    pairwise-SVD initialization — here the init is
+    ``pairwise_extrinsics``/``average_rotations``).
+
+    Gauss-Newton over se(3) twists with camera 0 gauge-fixed; the
+    full Jacobian comes from one ``jacfwd`` over the stacked
+    (C + B) x 6 update (rig problems are tiny: C <= ~8 cameras,
+    B <= ~64 boards). Returns (T_rig_cam', T_rig_board',
+    initial_rms_px, final_rms_px).
+    """
+    C = T_rig_cam.shape[0]
+    B = T_rig_board.shape[0]
+    mask_f = obs_mask.astype(jnp.float32)[:, :, None, None]
+
+    def residuals(T_cams, T_boards):
+        # point in camera c: T_cam^-1 T_board X
+        T_cb = jnp.einsum("cij,bjk->cbik", se3.inverse(T_cams), T_boards)
+        pc = (
+            jnp.einsum("cbij,pj->cbpi", T_cb[..., :3, :3], obj_pts)
+            + T_cb[:, :, None, :3, 3]
+        )
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = Ks[:, None, None, 0, 0] * pc[..., 0] / z + Ks[:, None, None, 0, 2]
+        v = Ks[:, None, None, 1, 1] * pc[..., 1] / z + Ks[:, None, None, 1, 2]
+        r = (jnp.stack([u, v], axis=-1) - obs_uv) * mask_f
+        return r  # (C, B, P, 2)
+
+    def apply(delta, T_cams, T_boards):
+        dc = delta[: C * 6].reshape(C, 6)
+        dc = dc.at[0].set(0.0)  # gauge: camera 0 frozen
+        db = delta[C * 6:].reshape(B, 6)
+        return se3.se3_exp(dc) @ T_cams, se3.se3_exp(db) @ T_boards
+
+    n_obs = jnp.maximum(jnp.sum(mask_f) * obj_pts.shape[0] * 2, 1.0)
+
+    def rms(T_cams, T_boards):
+        r = residuals(T_cams, T_boards)
+        return jnp.sqrt(jnp.sum(r * r) / n_obs)
+
+    def step(carry, _):
+        T_cams, T_boards = carry
+
+        def r_of(delta):
+            tc, tb = apply(delta, T_cams, T_boards)
+            return residuals(tc, tb).reshape(-1)
+
+        d0 = jnp.zeros((C + B) * 6)
+        r = r_of(d0)
+        J = jax.jacfwd(r_of)(d0)          # (N, (C+B)*6)
+        # Huber IRLS on per-corner residual norms.
+        rn = jnp.sqrt(r[0::2] ** 2 + r[1::2] ** 2)
+        w = jnp.where(rn <= huber_px, 1.0, huber_px / jnp.maximum(rn, 1e-9))
+        w2 = jnp.repeat(w, 2)
+        Jw = J * w2[:, None]
+        A = Jw.T @ J + damping * jnp.eye(J.shape[1])
+        # Gauge rows/cols for camera 0.
+        g = jnp.arange(6)
+        A = A.at[g].set(0.0).at[:, g].set(0.0)
+        A = A.at[g, g].set(1.0)
+        b = -(Jw.T @ r)
+        b = b.at[g].set(0.0)
+        delta = jnp.linalg.solve(A, b)
+        tc, tb = apply(delta, T_cams, T_boards)
+        better = rms(tc, tb) < rms(T_cams, T_boards)
+        return (
+            jnp.where(better, tc, T_cams),
+            jnp.where(better, tb, T_boards),
+        ), None
+
+    rms0 = rms(T_rig_cam, T_rig_board)
+    (Tc, Tb), _ = jax.lax.scan(
+        step, (T_rig_cam, T_rig_board), None, length=iterations
+    )
+    Tc = se3.orthonormalize_T(Tc)
+    Tb = se3.orthonormalize_T(Tb)
+    return Tc, Tb, rms0, rms(Tc, Tb)

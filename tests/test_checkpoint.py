@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,3 +53,58 @@ def test_npz_roundtrip_preserves_dtypes(tmp_path):
     assert back.keyframes.desc.dtype == jnp.uint32
     assert back.keyframes.count.dtype == jnp.int32
     assert back.keyframes.valid.dtype == jnp.bool_
+
+
+@pytest.mark.slow
+def test_killed_host_resume_mid_stream(tmp_path):
+    """Failure-recovery demo (VERDICT r3 'elastic recovery' partial):
+    track a stream, checkpoint mid-flight, simulate a host death by
+    discarding all live state, restore from disk in a FRESH SlamState
+    skeleton, continue — the resumed trajectory must equal the
+    uninterrupted run exactly (the step is deterministic given state,
+    frames, and keys)."""
+    from test_odometry import render_room_depth, small_camera, trajectory
+
+    from perception_tpu.models.slam.system import slam_step
+
+    cam = small_camera()
+    gt = trajectory(8)
+    frames = [render_room_depth(cam, T, seed=i) for i, T in enumerate(gt)]
+    grays = [np.asarray(d / d.max(), np.float32) for d in frames]
+    cfg = SlamConfig(
+        odometry=OdometryConfig(point_budget=256, keyframe_budget=512,
+                                icp_iterations=6, min_depth=0.1, max_depth=6.0,
+                                normal_max_edge=0.5, kf_translation=0.05),
+        max_keyframes=8, max_edges=16, features_per_kf=64,
+    )
+
+    def run(state, start, stop, poses):
+        key = jax.random.key(0)
+        for i in range(1, stop):
+            key, sub = jax.random.split(key)
+            if i < start:
+                continue  # deterministic key stream continues across the cut
+            state, _ = slam_step(state, jnp.asarray(frames[i]),
+                                 jnp.asarray(grays[i]), cam, sub, cfg)
+            poses.append(np.asarray(state.odom.pose))
+        return state
+
+    # Uninterrupted reference.
+    ref_state = slam_init(cam, jnp.asarray(frames[0]), jnp.asarray(grays[0]), cfg)
+    ref_poses = []
+    run(ref_state, 1, len(frames), ref_poses)
+
+    # Interrupted run: 4 frames, checkpoint, "crash", restore, resume.
+    state = slam_init(cam, jnp.asarray(frames[0]), jnp.asarray(grays[0]), cfg)
+    poses = []
+    state = run(state, 1, 5, poses)
+    save_npz(tmp_path / "ckpt", state)
+    del state  # the host dies here
+
+    skeleton = slam_init(cam, jnp.asarray(frames[0]), jnp.asarray(grays[0]), cfg)
+    restored = load_npz(tmp_path / "ckpt", skeleton)
+    run(restored, 5, len(frames), poses)
+
+    assert len(poses) == len(ref_poses)
+    for a, b in zip(poses, ref_poses):
+        np.testing.assert_allclose(a, b, atol=1e-5)
