@@ -73,5 +73,33 @@ def main() -> None:
     print("key bindings: space=pause, q=quit OK")
 
 
+
+
+def main_facade() -> None:
+    """GUI sinks driven through the Perception facade: the Wrapper's
+    producer -> extractor -> displayer flow in a few lines."""
+    import numpy as np
+
+    from perception_tpu.wrapper import (
+        Perception,
+        WrapperStructGui,
+        WrapperStructInput,
+        WrapperStructPose,
+    )
+
+    frames = [np.random.RandomState(i).rand(96, 96, 3).astype(np.float32)
+              for i in range(2)]
+    engine = Perception(
+        pose=WrapperStructPose(topology="COCO_18", net_hw=(64, 64)),
+        input=WrapperStructInput(source=frames),
+        gui=WrapperStructGui(display=True),  # headless sink off-display
+    )
+    for datum in engine.exec():
+        print(f"facade+gui frame {datum.frame_index}: "
+              f"{int(np.asarray(datum.people.mask).sum())} people")
+    engine.stop()
+
+
 if __name__ == "__main__":
     main()
+    main_facade()

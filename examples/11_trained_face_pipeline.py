@@ -82,5 +82,30 @@ def main() -> None:
     print("ok")
 
 
+
+
+def main_facade() -> None:
+    """The trained face pipeline through the Perception facade."""
+    import numpy as np
+
+    from perception_tpu.models import face_fixture as FF
+    from perception_tpu.wrapper import (
+        Perception,
+        WrapperStructFace,
+        WrapperStructPose,
+    )
+
+    if not FF.fixture_available():
+        print("facade demo skipped (face fixture missing)")
+        return
+    engine = Perception(pose=WrapperStructPose(enabled=False),
+                        face=WrapperStructFace(enabled=True))
+    img = np.random.RandomState(3).rand(128, 128, 3).astype(np.float32) * 255
+    datum = engine.emplace_and_pop(img)
+    print(f"facade face: reproj {float(datum.faces['reproj_px']):.2f} px, "
+          f"AU02 {float(datum.faces['au_intensities'][1]):.2f}")
+
+
 if __name__ == "__main__":
     main()
+    main_facade()
