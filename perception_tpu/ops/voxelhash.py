@@ -443,11 +443,15 @@ def query(
 
     pad = (-nq) % tile
     if sort:
+        # Multi-operand sort carries the coordinates through the sort
+        # (saves a (Nq, 3) row gather, ~1.3 ms at 307k on-chip).
         cid = _cell_ids(queries, vh.origin, vh.cell_size, vh.dims)
-        _, order_q = jax.lax.sort(
-            (cid, jnp.arange(nq, dtype=jnp.int32)), num_keys=1
+        _, qx, qy, qz, order_q = jax.lax.sort(
+            (cid, queries[:, 0], queries[:, 1], queries[:, 2],
+             jnp.arange(nq, dtype=jnp.int32)),
+            num_keys=1,
         )
-        q_use = queries[order_q]
+        q_use = jnp.stack([qx, qy, qz], axis=-1)
     else:
         q_use = queries
     q_pad = jnp.pad(q_use, ((0, pad), (0, 0)), constant_values=SENTINEL)
@@ -472,10 +476,10 @@ def query(
     idx = jnp.minimum(idx[:nq], n - 1)
     d2 = d2[:nq]
     if sort:
-        inv = jnp.zeros(nq, jnp.int32).at[order_q].set(
-            jnp.arange(nq, dtype=jnp.int32)
-        )
-        idx, d2 = idx[inv], d2[inv]
+        # Unsort by direct scatter (one pass each; the inverse-perm +
+        # gather formulation costs an extra permutation build).
+        idx = jnp.zeros(nq, jnp.int32).at[order_q].set(idx)
+        d2 = jnp.zeros(nq, d2.dtype).at[order_q].set(d2)
     if return_stats:
         return idx, d2, overflow
     return idx, d2
