@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 from perception_tpu.ops.points import SENTINEL, apply_mask
 
-_BIG = jnp.float32(4.0e12)  # > (2*SENTINEL)^2; safe in f32
+# Python float (NOT a jnp array: module-level device constants would
+# initialise the XLA backend at import time, which breaks
+# jax.distributed.initialize in the multi-host bootstrap).
+_BIG = 4.0e12  # > (2*SENTINEL)^2; safe in f32
 
 
 def _round_up(x: int, m: int) -> int:
