@@ -78,10 +78,7 @@ def measure(sizes=None, iters=10) -> list:
 
         wi, wd = warm(vh, q_sorted)
         oq = np.asarray(order_q)
-        agree_warm = float(np.mean(
-            order[np.asarray(wi)] == oi[oq]
-        ))  # all-queries check in sorted layout
-        # restrict to in-radius in sorted layout
+        # Agreement restricted to in-radius queries, in sorted layout.
         in_r_s = od[oq] <= radius
         agree_warm = float(np.mean(
             (order[np.asarray(wi)] == oi[oq])[in_r_s]))

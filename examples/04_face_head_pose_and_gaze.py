@@ -121,8 +121,10 @@ def main_facade() -> None:
         input=WrapperStructInput(source=frames),
     )
     for datum in engine.exec():
+        # Multi-face facade outputs are (max_faces, ...) slot arrays.
         print(f"facade: people={int(np.asarray(datum.people.mask).sum())}, "
-              f"face reproj={float(datum.faces['reproj_px']):.2f} px, "
+              f"faces={int(np.asarray(datum.faces['mask']).sum())}, "
+              f"face reproj={float(datum.faces['reproj_px'][0]):.2f} px, "
               f"hand lms={int(np.asarray(datum.hands['landmark_mask']).sum())}")
 
 

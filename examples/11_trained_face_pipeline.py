@@ -102,8 +102,9 @@ def main_facade() -> None:
                         face=WrapperStructFace(enabled=True))
     img = np.random.RandomState(3).rand(128, 128, 3).astype(np.float32) * 255
     datum = engine.emplace_and_pop(img)
-    print(f"facade face: reproj {float(datum.faces['reproj_px']):.2f} px, "
-          f"AU02 {float(datum.faces['au_intensities'][1]):.2f}")
+    # Slot 0 of the (max_faces, ...) multi-face outputs.
+    print(f"facade face: reproj {float(datum.faces['reproj_px'][0]):.2f} px, "
+          f"AU02 {float(datum.faces['au_intensities'][0, 1]):.2f}")
 
 
 if __name__ == "__main__":

@@ -213,7 +213,6 @@ def cmd_pose(args) -> None:
     from perception_tpu.wrapper import (
         Perception,
         WrapperStructInput,
-        WrapperStructOutput,
         WrapperStructPose,
     )
 
@@ -230,15 +229,11 @@ def cmd_pose(args) -> None:
         scene = sample_skeletons(jax.random.key(args.seed), FIXTURE_HW)
         img = np.asarray(render_people(scene, FIXTURE_HW))
 
-    out_dir = None
-    if args.out_json:
-        from pathlib import Path
-
-        out_dir = str(Path(args.out_json).parent / "_cli_pose_json")
+    # --out-json is written once, explicitly, below (a json_dir sink
+    # here would duplicate the same data into a derived directory).
     engine = Perception(
         pose=WrapperStructPose(topology=FIXTURE_TOPOLOGY, net_hw=FIXTURE_HW),
         input=WrapperStructInput(source=[img]),
-        output=WrapperStructOutput(json_dir=out_dir),
     )
     for datum in engine.exec():
         ppl = datum.people

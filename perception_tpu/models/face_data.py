@@ -193,16 +193,9 @@ def _seg_dist(px, a, b):
     return jnp.linalg.norm(px - proj, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("hw",))
-def render_face(scene: FaceScene, hw: Tuple[int, int], key=None) -> jax.Array:
-    """Grayscale (H, W) float in [0, 255]: bright skin, dark features —
-    the contrast structure ``detect_faces`` scores (eyes darker than
-    cheeks/forehead, dark mouth, bright bridge)."""
-    H, W = hw
-    yy, xx = jnp.mgrid[0:H, 0:W]
-    px = jnp.stack([xx, yy], -1).astype(jnp.float32)
-    lm = scene.landmarks2d
-
+def _face_layers(lm: jax.Array, px: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """One face's (skin, dark) fields in [0, 1] over the pixel grid —
+    shared by the single- and multi-face renderers."""
     # Face scale in pixels (eye-corner distance) drives stroke widths.
     eye_span = jnp.linalg.norm(lm[45] - lm[36])
     stroke = jnp.clip(eye_span * 0.05, 0.8, 4.0)
@@ -214,10 +207,8 @@ def render_face(scene: FaceScene, hw: Tuple[int, int], key=None) -> jax.Array:
     d_face = jnp.linalg.norm(px - c, axis=-1)
     skin = jnp.clip(1.0 - (d_face - 1.55 * spread) / (0.35 * spread), 0.0, 1.0)
 
-    img = 40.0 + 160.0 * skin  # bg 40, skin up to 200
-
     # Dark feature strokes along the chains.
-    dmin = jnp.full((H, W), 1e9)
+    dmin = jnp.full(px.shape[:-1], 1e9)
     for chain in _CHAINS:
         for i in range(len(chain) - 1):
             dmin = jnp.minimum(dmin, _seg_dist(px, lm[chain[i]], lm[chain[i + 1]]))
@@ -231,11 +222,75 @@ def render_face(scene: FaceScene, hw: Tuple[int, int], key=None) -> jax.Array:
     sockets = jnp.clip(1.0 - (jnp.minimum(d_re, d_le) - r_eye) / 1.5, 0.0, 1.0)
 
     dark = jnp.maximum(line * 0.85, sockets)
-    img = img * (1.0 - 0.8 * dark)
+    return skin, dark
 
+
+def _compose(skin: jax.Array, dark: jax.Array, hw: Tuple[int, int], key):
+    img = (40.0 + 160.0 * skin) * (1.0 - 0.8 * dark)  # bg 40, skin to 200
     if key is not None:
-        img = img + jax.random.normal(key, (H, W)) * 2.0
+        img = img + jax.random.normal(key, hw) * 2.0
     return jnp.clip(img, 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("hw",))
+def render_face(scene: FaceScene, hw: Tuple[int, int], key=None) -> jax.Array:
+    """Grayscale (H, W) float in [0, 255]: bright skin, dark features —
+    the contrast structure ``detect_faces`` scores (eyes darker than
+    cheeks/forehead, dark mouth, bright bridge)."""
+    H, W = hw
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    px = jnp.stack([xx, yy], -1).astype(jnp.float32)
+    skin, dark = _face_layers(scene.landmarks2d, px)
+    return _compose(skin, dark, hw, key)
+
+
+@functools.partial(jax.jit, static_argnames=("hw",))
+def render_faces(scenes: FaceScene, hw: Tuple[int, int], key=None) -> jax.Array:
+    """Multi-face render: ``scenes`` is a stacked FaceScene pytree with
+    a leading face axis. Per-pixel max-composite of the face layers —
+    exact for spatially disjoint faces (the multi-face e2e scenario,
+    openface2_ros.cpp:174-183)."""
+    H, W = hw
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    px = jnp.stack([xx, yy], -1).astype(jnp.float32)
+    skins, darks = jax.vmap(lambda lm: _face_layers(lm, px))(scenes.landmarks2d)
+    return _compose(jnp.max(skins, axis=0), jnp.max(darks, axis=0), hw, key)
+
+
+def sample_face_at(
+    key: jax.Array,
+    hw: Tuple[int, int],
+    fx: float,
+    fy: float,
+    txy: Tuple[float, float],
+    z: float,
+    rot_range: float = 0.15,
+    au02=None,
+) -> FaceScene:
+    """A face at an EXPLICIT position (meters, camera frame) — the
+    controlled placement used to build disjoint multi-face scenes."""
+    H, W = hw
+    cx, cy = W / 2.0, H / 2.0
+    k1, k4 = jax.random.split(key)
+    rot = jax.random.uniform(k1, (3,), minval=-rot_range, maxval=rot_range)
+    if au02 is None:
+        au02 = jnp.where(
+            jax.random.bernoulli(k4, 0.5),
+            jax.random.uniform(jax.random.fold_in(k4, 1), (), minval=0.6, maxval=1.0),
+            jax.random.uniform(jax.random.fold_in(k4, 2), (), minval=0.0, maxval=0.15),
+        )
+    else:
+        au02 = jnp.asarray(au02, jnp.float32)
+    R_face_camera = se3.so3_exp(jnp.asarray([0.0, jnp.pi, 0.0]))
+    T = se3.make_T(
+        se3.so3_exp(rot) @ R_face_camera,
+        jnp.asarray([txy[0], txy[1], z], jnp.float32),
+    )
+    model = deformed_model(au02)
+    pc = se3.transform_points(T, model)
+    zc = jnp.maximum(pc[:, 2], 1e-6)
+    uv = jnp.stack([fx * pc[:, 0] / zc + cx, fy * pc[:, 1] / zc + cy], axis=-1)
+    return FaceScene(pose=T, landmarks2d=uv, landmarks3d=pc, au02=au02)
 
 
 def landmark_heatmap_targets(

@@ -210,9 +210,16 @@ class FaceDetectorNet(nn.Module):
         return heat, size
 
 
-def decode_detector_net(heat, size, threshold: float = 0.0, max_faces: int = 8):
-    """Peaks of the center heatmap -> FaceDetections (input pixels)."""
-    peaks = nms_heatmap(heat[None], threshold=threshold, max_peaks=max_faces)
+def decode_detector_net(heat, size, threshold: float = 0.0, max_faces: int = 8,
+                        iou_threshold: float = 0.4):
+    """Peaks of the center heatmap -> FaceDetections (input pixels).
+
+    Heatmap-peak NMS is 3x3-local only; two peaks a few strides apart
+    can both fire on one face, so the decoded boxes go through the same
+    greedy box-IoU dedup the classical detector uses (MTCNN applies its
+    own box NMS at this point)."""
+    # Decode 2x the slots, dedup by IoU, keep the top max_faces.
+    peaks = nms_heatmap(heat[None], threshold=threshold, max_peaks=2 * max_faces)
     xy = peaks.xy[0]
     uv = xy * 4.0
     u = jnp.clip(xy[:, 0].astype(jnp.int32), 0, size.shape[1] - 1)
@@ -223,4 +230,4 @@ def decode_detector_net(heat, size, threshold: float = 0.0, max_faces: int = 8):
         [uv[:, 0] - half, uv[:, 1] - half, uv[:, 0] + half, uv[:, 1] + half],
         axis=1,
     )
-    return FaceDetections(boxes=boxes, scores=peaks.score[0], mask=peaks.mask[0])
+    return _greedy_nms(boxes, peaks.score[0], peaks.mask[0], iou_threshold, max_faces)

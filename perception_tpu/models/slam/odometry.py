@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +106,14 @@ class OdometryState(NamedTuple):
     map_points: jax.Array  # (Mb, 3)
     map_normals: jax.Array # (Mb, 3)
     map_mask: jax.Array    # (Mb,)
+    # Persistent cell-sorted hash of the map (hash NN mode only; a
+    # minimal dummy otherwise). The map changes ONLY on keyframe
+    # promotion, so the build sort is paid once per keyframe — not per
+    # frame — the incremental maintenance that replaces the reference's
+    # per-callback KD-tree rebuild
+    # (cuboid_detection/src/iterative_closest_point.cpp:159-178).
+    map_hash: Any          # ops.voxelhash.VoxelHash
+    map_nrm_hash: jax.Array  # (Mb, 3) normals in hash (cell-sorted) order
 
 
 class OdometryDiag(NamedTuple):
@@ -113,6 +121,12 @@ class OdometryDiag(NamedTuple):
     overlap: jax.Array       # () gated-correspondence fraction
     promoted: jax.Array      # () bool — this frame became a keyframe
     num_corr: jax.Array      # () int32
+    nn_overflow: jax.Array   # () voxel-hash per-tile range overflow
+                             # fraction on the final correspondence pass
+                             # (0.0 on the brute/fused paths); nonzero
+                             # means tile coherence broke and tail
+                             # candidates were dropped — see
+                             # ops/voxelhash.query(rng_pts)
 
 
 def _subsample_indices(n: int, budget: int, phase):
@@ -173,6 +187,44 @@ def _fuse_map(map_pts, map_nrm, map_mask, kf_pts, kf_norm, kf_mask, cfg: Odometr
     return out_pts, out_nrm, out_mask
 
 
+def _use_hash(cfg: OdometryConfig) -> bool:
+    """Static (config-time) choice of the map-mode NN engine. The
+    "auto" threshold is the measured IN-SYSTEM crossover with the
+    persistent hash (build amortized over keyframe lifetime)."""
+    return cfg.map_budget > 0 and (
+        cfg.map_nn == "hash"
+        or (cfg.map_nn == "auto" and cfg.map_budget > 16384)
+    )
+
+
+def _build_map_hash(map_pts, map_nrm, map_mask, cfg: OdometryConfig):
+    from perception_tpu.ops import voxelhash
+
+    vh = voxelhash.build(map_pts, map_mask, cell_size=cfg.map_nn_radius)
+    return vh, map_nrm[vh.order]
+
+
+def _dummy_hash():
+    """Placeholder pytree for configs that never query the hash."""
+    from perception_tpu.ops.voxelhash import VoxelHash
+
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    return (
+        VoxelHash(
+            points=z3,
+            table=jnp.zeros((1, 8), jnp.float32),
+            tableT=jnp.zeros((8, 1), jnp.float32),
+            cell_ids=jnp.zeros((1,), jnp.int32),
+            origin=jnp.zeros((3,), jnp.float32),
+            cell_size=jnp.float32(1.0),
+            dims=jnp.ones((3,), jnp.int32),
+            sentinel_id=jnp.int32(1),
+            order=jnp.zeros((1,), jnp.int32),
+        ),
+        z3,
+    )
+
+
 def init_state(camera: PinholeCamera, depth0: jax.Array, cfg: OdometryConfig = OdometryConfig()) -> OdometryState:
     """Bootstrap from the first frame (identity pose, first keyframe)."""
     _, _, kf_pts, kf_norm, kf_mask = _frame_features(camera, depth0, cfg)
@@ -187,6 +239,10 @@ def init_state(camera: PinholeCamera, depth0: jax.Array, cfg: OdometryConfig = O
         map_pts = jnp.zeros((0, 3), jnp.float32)
         map_nrm = jnp.zeros((0, 3), jnp.float32)
         map_mask = jnp.zeros((0,), bool)
+    if _use_hash(cfg):
+        map_hash, map_nrm_hash = _build_map_hash(map_pts, map_nrm, map_mask, cfg)
+    else:
+        map_hash, map_nrm_hash = _dummy_hash()
     return OdometryState(
         pose=eye,
         kf_pose=eye,
@@ -198,6 +254,8 @@ def init_state(camera: PinholeCamera, depth0: jax.Array, cfg: OdometryConfig = O
         map_points=map_pts,
         map_normals=map_nrm,
         map_mask=map_mask,
+        map_hash=map_hash,
+        map_nrm_hash=map_nrm_hash,
     )
 
 
@@ -232,16 +290,14 @@ def odometry_step(
         # build once per step, query each iteration).
         from perception_tpu.ops import voxelhash
 
-        use_hash = cfg.map_nn == "hash" or (
-            cfg.map_nn == "auto" and cfg.map_budget > 65536
-        )
+        use_hash = _use_hash(cfg)
         r2 = cfg.map_nn_radius**2
         if use_hash:
-            vh = voxelhash.build(
-                state.map_points, state.map_mask, cell_size=cfg.map_nn_radius
-            )
+            # Persistent hash (state.map_hash): the cell sort was paid
+            # when the map last changed (keyframe promotion), not here.
+            vh = state.map_hash
             map_pts_nn = vh.points
-            nrm_sorted = state.map_normals[vh.order]
+            nrm_sorted = state.map_nrm_hash
             # Sort the source into cell order ONCE per frame (under the
             # warm-start transform); every GN iteration then queries
             # with sort=False — the mm-scale pose updates keep the
@@ -255,12 +311,27 @@ def odometry_step(
 
             def nn_query(src_t):
                 return voxelhash.query(vh, src_t, sort=False)
+
+            def nn_query_stats(src_t):
+                # Final-pass overflow accounting (the exactness
+                # contract's diagnostic): if a large inter-frame motion
+                # broke the once-per-frame tile coherence, the per-tile
+                # range cap drops tail candidates — report the fraction
+                # instead of degrading silently.
+                idx, d2, ov = voxelhash.query(
+                    vh, src_t, sort=False, return_stats=True
+                )
+                return idx, d2, ov
         else:
             map_pts_nn = apply_mask(state.map_points, state.map_mask)
             nrm_sorted = state.map_normals
 
             def nn_query(src_t):
                 return _nn.nearest_neighbor(src_t, map_pts_nn, state.map_mask)
+
+            def nn_query_stats(src_t):
+                idx, d2 = nn_query(src_t)
+                return idx, d2, jnp.float32(0.0)
 
         def correspondences(T):
             src_t = se3.transform_points(T, src_pts)
@@ -282,7 +353,9 @@ def odometry_step(
             return se3.se3_exp(xi) @ T, None
 
         T, _ = jax.lax.scan(gn_body, T0, None, length=cfg.icp_iterations)
-        _, _, d2, gate = correspondences(T)
+        src_tf = se3.transform_points(T, src_pts)
+        _, d2, nn_overflow = nn_query_stats(src_tf)
+        gate = src_mask & (d2 <= r2)
         num_corr = jnp.sum(gate, dtype=jnp.int32)
         fitness = jnp.sum(jnp.where(gate, d2, 0.0)) / jnp.maximum(
             num_corr.astype(jnp.float32), 1.0
@@ -326,6 +399,7 @@ def odometry_step(
         )
         num_corr = ngate.astype(jnp.int32)
         fitness = gd2 / jnp.maximum(ngate, 1.0)
+        nn_overflow = jnp.float32(0.0)  # fused path scans the full map
     else:
         def correspondences(T):
             src_t = se3.transform_points(T, src_pts)
@@ -350,6 +424,7 @@ def odometry_step(
         _, _, d2, gate = correspondences(T)
         num_corr = jnp.sum(gate, dtype=jnp.int32)
         fitness = jnp.sum(d2 * gate) / jnp.maximum(num_corr.astype(d2.dtype), 1.0)
+        nn_overflow = jnp.float32(0.0)  # brute NN scans the full map
 
     denom = jnp.maximum(jnp.sum(src_mask, dtype=jnp.int32), 1)
     overlap = num_corr.astype(jnp.float32) / denom.astype(jnp.float32)
@@ -374,9 +449,10 @@ def odometry_step(
         # absorbs its cloud; lax.cond skips the fuse (concat + voxel
         # dedup + decimate) on non-promoted frames.
         inv_T = se3.inverse(T)
+        hash_mode = _use_hash(cfg)
 
         def do_merge(_):
-            return _fuse_map(
+            pts, nrm, msk = _fuse_map(
                 se3.transform_points(inv_T, state.map_points),
                 se3.rotate_points(inv_T, state.map_normals),
                 state.map_mask,
@@ -385,15 +461,26 @@ def odometry_step(
                 new_kf_mask,
                 cfg,
             )
+            if hash_mode:
+                # The ONLY place the hash is (re)built: the map just
+                # changed and re-anchored, so the cell sort here is
+                # amortized over every frame until the next promotion.
+                vh2, nrm2 = _build_map_hash(pts, nrm, msk, cfg)
+                return pts, nrm, msk, vh2, nrm2
+            return pts, nrm, msk, state.map_hash, state.map_nrm_hash
 
         def keep(_):
-            return (state.map_points, state.map_normals, state.map_mask)
+            return (state.map_points, state.map_normals, state.map_mask,
+                    state.map_hash, state.map_nrm_hash)
 
-        map_pts, map_nrm, map_mask = jax.lax.cond(sel, do_merge, keep, None)
+        map_pts, map_nrm, map_mask, map_hash, map_nrm_hash = jax.lax.cond(
+            sel, do_merge, keep, None
+        )
     else:
         map_pts, map_nrm, map_mask = (
             state.map_points, state.map_normals, state.map_mask
         )
+        map_hash, map_nrm_hash = state.map_hash, state.map_nrm_hash
     new_state = OdometryState(
         pose=new_pose,
         kf_pose=jnp.where(sel, new_pose, state.kf_pose),
@@ -405,8 +492,11 @@ def odometry_step(
         map_points=map_pts,
         map_normals=map_nrm,
         map_mask=map_mask,
+        map_hash=map_hash,
+        map_nrm_hash=map_nrm_hash,
     )
-    diag = OdometryDiag(fitness=fitness, overlap=overlap, promoted=promote, num_corr=num_corr)
+    diag = OdometryDiag(fitness=fitness, overlap=overlap, promoted=promote,
+                        num_corr=num_corr, nn_overflow=nn_overflow)
     return new_state, diag
 
 

@@ -58,13 +58,19 @@ class WrapperStructPose:
 class WrapperStructFace:
     enabled: bool = False
     params: Any = None          # None -> trained face fixture
-    max_faces: int = 4
+    max_faces: int = 4          # tracker slots (model replication,
+                                # openface2_ros.cpp:174-183)
+    detect_every: int = 1       # detector cadence in frames
+                                # (round(30/rate), openface2_ros.cpp:236)
 
 
 @dataclasses.dataclass(frozen=True)
 class WrapperStructHand:
     enabled: bool = False
     params: Any = None          # None -> trained hand fixture
+    top_n_people: int = 1       # run left+right hands for the first N
+                                # people (handDetector.cpp runs both
+                                # wrists of every person)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +151,10 @@ class Perception:
                 raise ValueError("top_n must be >= 0")
         if f.enabled and f.max_faces < 1:
             raise ValueError("max_faces must be >= 1")
+        if f.enabled and f.detect_every < 1:
+            raise ValueError("detect_every must be >= 1")
+        if h.enabled and h.top_n_people < 1:
+            raise ValueError("top_n_people must be >= 1")
         o = self.output_cfg
         if o.video_path is not None and not str(o.video_path).endswith(
             (".mp4", ".avi", ".mkv")
@@ -201,12 +211,7 @@ class Perception:
 
         if self.face_cfg.enabled:
             from perception_tpu.models import face_fixture as FF
-            from perception_tpu.models.face import (
-                gaze_from_landmarks,
-                head_pose_pnp,
-                normalize_landmarks,
-            )
-            from perception_tpu.models.hand import crop_image
+            from perception_tpu.models import face_multi as FM
 
             fparams = self.face_cfg.params
             if fparams is None:
@@ -217,39 +222,32 @@ class Perception:
                     )
                 fparams = FF.load_fixture()
             self._face_params = fparams
-            fhw = FF.FIXTURE_HW
-            fx = FF.FIXTURE_FX
-            cx, cy = fhw[1] / 2.0, fhw[0] / 2.0
+            self._face_state = FM.init_tracks(self.face_cfg.max_faces)
+            self._frame_count = 0
 
-            def face_fn(p, image):
-                img = jax.image.resize(image, fhw + image.shape[2:], "bilinear")
-                if img.ndim == 3:
-                    img = jnp.mean(img, axis=-1)
-                det = FF.detect_with_net(p["det"], img)
-                box = det.boxes[0]
-                patch = crop_image(img, box, FF.FIXTURE_CROP) / 255.0
-                uv, m, _ = FF.landmarks_from_crop(p["landmark"], patch, box)
-                T, px_err = head_pose_pnp(uv, m, fx, fx, cx, cy)
-                gaze_r, gaze_l = gaze_from_landmarks(uv, T, fx, fx, cx, cy)
-                inten, _ = FF.tiny_au_head().apply(
-                    p["au"], normalize_landmarks(uv, m)
+            def face_fn(p, gray, state, detect):
+                # Native-resolution multi-face chain (models/face_multi):
+                # detect (throttled) -> tracker slots -> batched
+                # crop/landmark/PnP/gaze/AU — one jitted dispatch for
+                # up to max_faces faces. Focal length scales with image
+                # size relative to the fixture's training resolution.
+                H, W = gray.shape
+                s = max(H, W) / max(FF.FIXTURE_HW)
+                fx = FF.FIXTURE_FX * s
+                return FM.multi_face_step(
+                    p, gray, state, fx, fx, W / 2.0, H / 2.0, detect,
+                    crop=FF.FIXTURE_CROP,
                 )
-                return {
-                    "boxes": det.boxes, "box_mask": det.mask,
-                    "landmarks": uv, "landmark_mask": m,
-                    "head_pose": T, "reproj_px": px_err,
-                    "gaze": jnp.stack([gaze_r, gaze_l]),
-                    "au_intensities": inten,
-                }
 
-            # Eager (not jitted): the face helpers use boolean-mask
-            # indexing (PnP correspondence selection) that only works
-            # with concrete values.
             self._face_fn = face_fn
 
         if self.hand_cfg.enabled:
             from perception_tpu.models import hand_fixture as HF
-            from perception_tpu.models.hand import hand_roi_from_pose
+            from perception_tpu.models.hand import (
+                LEFT_ARM,
+                RIGHT_ARM,
+                hand_roi_from_pose,
+            )
 
             hparams = self.hand_cfg.params
             if hparams is None:
@@ -260,17 +258,62 @@ class Perception:
                     )
                 hparams = HF.load_fixture()
             self._hand_params = hparams
+            n_people = self.hand_cfg.top_n_people
 
-            def hand_fn(p, image, keypoints):
-                import jax.numpy as jnp
+            def hand_fn(p, gray, keypoints, people_mask):
+                # Left+right hand ROIs for the first N people, one
+                # batched extraction (handDetector.cpp runs both wrists
+                # per person; models/hand.py arm chains).
+                kp = keypoints[:n_people]
+                pm = people_mask[:n_people]
 
-                gray = image if image.ndim == 2 else jnp.mean(image, axis=-1)
-                box, ok = hand_roi_from_pose(keypoints)
-                uv, m, _scores = HF.extract_hand_tiny(p, gray, box)
-                return {"box": box, "box_valid": ok,
-                        "landmarks": uv, "landmark_mask": m & ok}
+                def rois(kp1):
+                    bl, okl = hand_roi_from_pose(kp1, arm=LEFT_ARM)
+                    br, okr = hand_roi_from_pose(kp1, arm=RIGHT_ARM)
+                    return jnp.stack([bl, br]), jnp.stack([okl, okr])
 
-            self._hand_fn = hand_fn  # eager, same reason as face_fn
+                boxes, ok = jax.vmap(rois)(kp)        # (N, 2, 4), (N, 2)
+                flat = boxes.reshape(-1, 4)
+                uv, m, _sc = jax.vmap(
+                    lambda b: HF.extract_hand_tiny(p, gray, b)
+                )(flat)
+                valid = ok & pm[:, None]
+                return {
+                    "boxes": boxes,                    # (N, 2, 4) [L, R]
+                    "box_valid": valid,                # (N, 2)
+                    "landmarks": uv.reshape(n_people, 2, -1, 2),
+                    "landmark_mask": (
+                        m.reshape(n_people, 2, -1) & valid[..., None]
+                    ),
+                }
+
+            self._hand_fn = hand_fn
+
+        # ONE jitted dispatch per frame assembling every enabled
+        # extractor (the reference's whole worker-graph forward,
+        # wrapperAuxiliary.hpp:970-1158, as a single XLA program).
+        pose_fn, face_fn, hand_fn = self._pose_fn, self._face_fn, self._hand_fn
+
+        def step(params, img_unit, gray8, face_state, detect):
+            people = faces = hands = None
+            if pose_fn is not None:
+                people = pose_fn(params["pose"], img_unit)
+            if face_fn is not None:
+                face_state, faces = face_fn(
+                    params["face"], gray8, face_state, detect
+                )
+            if hand_fn is not None and people is not None:
+                hands = hand_fn(
+                    params["hand"], gray8, people.keypoints, people.mask
+                )
+            return people, faces, hands, face_state
+
+        self._step_fn = jax.jit(step)
+        self._params = {
+            "pose": getattr(self, "_pose_params", None),
+            "face": getattr(self, "_face_params", None),
+            "hand": getattr(self, "_hand_params", None),
+        }
 
         # Output sinks.
         self._savers = []
@@ -297,23 +340,33 @@ class Perception:
     # -- synchronous single-frame API (emplaceAndPop) -----------------
     def emplace_and_pop(self, image, frame_index: int = 0,
                         timestamp: Optional[float] = None) -> PerceptionDatum:
-        """Run every enabled extractor on one frame."""
+        """Run every enabled extractor on one frame (one jitted
+        dispatch)."""
         import jax.numpy as jnp
 
         img = jnp.asarray(image, jnp.float32)
         if img.ndim == 2:
             img = img[..., None] * jnp.ones((1, 1, 3), jnp.float32)
+        # Normalize ONCE: img_unit in [0, 1] for the pose net, gray8 in
+        # [0, 255] for the face/hand extractors — a consistent pair
+        # regardless of the caller's input scale (uint8 or unit floats).
         if img.max() > 1.5:  # uint8-scaled input
             img_unit = img / 255.0
         else:
             img_unit = img
-        people = faces = hands = None
-        if self._pose_fn is not None:
-            people = self._pose_fn(self._pose_params, img_unit)
+        gray8 = jnp.mean(img_unit, axis=-1) * 255.0
+
+        detect = True
         if self._face_fn is not None:
-            faces = self._face_fn(self._face_params, img)
-        if self._hand_fn is not None and people is not None:
-            hands = self._hand_fn(self._hand_params, img, people.keypoints[0])
+            every = self.face_cfg.detect_every
+            detect = (self._frame_count % every) == 0
+            self._frame_count += 1
+        people, faces, hands, new_state = self._step_fn(
+            self._params, img_unit, gray8,
+            getattr(self, "_face_state", None), jnp.bool_(detect),
+        )
+        if self._face_fn is not None:
+            self._face_state = new_state
         datum = PerceptionDatum(
             frame_index=frame_index,
             timestamp=time.time() if timestamp is None else timestamp,
@@ -387,14 +440,26 @@ class Perception:
             raise RuntimeError("already started")
         self._stop.clear()
 
+        def put_observing_stop(item) -> bool:
+            """Bounded put that re-checks _stop so a consumer that quits
+            without draining can't wedge the pump thread forever."""
+            while not self._stop.is_set():
+                try:
+                    self._out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def pump():
             try:
                 for datum in self.exec():
                     if self._stop.is_set():
                         break
-                    self._out_q.put(datum)
+                    if not put_observing_stop(datum):
+                        break
             finally:
-                self._out_q.put(None)  # end-of-stream sentinel
+                put_observing_stop(None)  # end-of-stream sentinel
 
         self._thread = threading.Thread(target=pump, daemon=True)
         self._thread.start()
@@ -411,12 +476,23 @@ class Perception:
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=10.0)
+        thread = self._thread
+        if thread is not None:
+            # Drain the queue while joining so a pump blocked on a full
+            # queue exits promptly; only close sinks once the thread has
+            # actually stopped (no write-after-close races).
+            deadline = time.monotonic() + 10.0
+            while thread.is_alive() and time.monotonic() < deadline:
+                try:
+                    self._out_q.get_nowait()
+                except queue.Empty:
+                    pass
+                thread.join(timeout=0.1)
             self._thread = None
-        if self._video is not None:
-            self._video.close()
-        if self._udp is not None:
-            self._udp.close()
-        if self._gui is not None:
-            self._gui.close()
+        if thread is None or not thread.is_alive():
+            if self._video is not None:
+                self._video.close()
+            if self._udp is not None:
+                self._udp.close()
+            if self._gui is not None:
+                self._gui.close()

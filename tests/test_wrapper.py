@@ -94,10 +94,17 @@ def test_fixture_pipelines_if_available():
     p = Perception(
         pose=WrapperStructPose(topology=PF.FIXTURE_TOPOLOGY,
                                net_hw=PF.FIXTURE_HW),
-        face=WrapperStructFace(enabled=True),
-        hand=WrapperStructHand(enabled=True),
+        face=WrapperStructFace(enabled=True, max_faces=3),
+        hand=WrapperStructHand(enabled=True, top_n_people=2),
     )
     datum = p.emplace_and_pop(_frames(1, hw=(128, 128))[0])
     assert datum.people is not None
     assert datum.faces is not None and "head_pose" in datum.faces
+    # Multi-face slots: (max_faces, ...) arrays.
+    assert datum.faces["head_pose"].shape == (3, 4, 4)
+    assert datum.faces["mask"].shape == (3,)
+    # Both hands for the top-N people: (N, 2[left,right], 21, ...).
     assert datum.hands is not None and "landmarks" in datum.hands
+    assert datum.hands["landmarks"].shape == (2, 2, 21, 2)
+    assert datum.hands["boxes"].shape == (2, 2, 4)
+    assert datum.hands["box_valid"].shape == (2, 2)
