@@ -53,7 +53,10 @@ def run(
     enable_ba: bool = True,
     map_budget: int = 0,
     map_nn: str = "auto",
+    **odom_overrides,
 ) -> dict:
+    """``odom_overrides`` land on OdometryConfig (e.g. icp_iterations,
+    point_budget) for map-mode tuning sweeps."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,19 +71,21 @@ def run(
 
     camera, gt, grays, depths = rendered_sequence(frames, width, height)
 
+    odom_kw = dict(
+        point_budget=2048,
+        keyframe_budget=4096,
+        icp_iterations=8,
+        min_depth=0.1,
+        max_depth=6.0,
+        normal_max_edge=0.1,
+        kf_translation=0.10,
+        kf_rotation=0.12,
+        map_budget=map_budget,
+        map_nn=map_nn,
+    )
+    odom_kw.update(odom_overrides)
     cfg = SlamConfig(
-        odometry=OdometryConfig(
-            point_budget=2048,
-            keyframe_budget=4096,
-            icp_iterations=8,
-            min_depth=0.1,
-            max_depth=6.0,
-            normal_max_edge=0.1,
-            kf_translation=0.10,
-            kf_rotation=0.12,
-            map_budget=map_budget,
-            map_nn=map_nn,
-        ),
+        odometry=OdometryConfig(**odom_kw),
         max_keyframes=64,
         max_edges=192,
         features_per_kf=256,

@@ -332,24 +332,42 @@ def detector_targets(
     return heat, jnp.full((h, w), logsize), heat
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "hw", "crop"))
+@functools.partial(
+    jax.jit, static_argnames=("batch", "hw", "crop", "rot_range", "pixel_noise")
+)
 def make_face_batch(
     key: jax.Array,
     batch: int,
     hw: Tuple[int, int] = (128, 128),
     crop: int = 96,
     fx: float = 300.0,
+    rot_range: float = 0.30,
+    pixel_noise: float = 0.0,
 ) -> dict:
     """Training batch: full images, GT-box crops, heatmap targets, AU
-    targets, and the scenes (for evaluation)."""
+    targets, and the scenes (for evaluation).
+
+    ``rot_range`` widens the head-rotation distribution and
+    ``pixel_noise`` adds per-scene Gaussian noise with a random level
+    in [0, pixel_noise] (fraction of 255) — robustness augmentation for
+    the held-out FIXTURES.md families (tilted heads broke the AU02
+    gate at 0.45 rad on the r4 fixture)."""
     from perception_tpu.models.hand import crop_image
 
     keys = jax.random.split(key, batch)
 
     def one(k):
         k1, k2, k3 = jax.random.split(k, 3)
-        scene = sample_face(k1, hw, fx, fx)
+        scene = sample_face(k1, hw, fx, fx, rot_range=rot_range)
         img = render_face(scene, hw, key=k2)
+        if pixel_noise > 0.0:
+            nk = jax.random.fold_in(k2, 7)
+            lvl = jax.random.uniform(nk, ()) * pixel_noise
+            img = jnp.clip(
+                img + jax.random.normal(jax.random.fold_in(nk, 1), img.shape)
+                * lvl * 255.0,
+                0.0, 255.0,
+            )
         box = crop_box_from_landmarks(scene.landmarks2d)
         det_heat, det_size, det_w = detector_targets(box, (hw[0] // 4, hw[1] // 4))
         # Box augmentation: at inference the crop comes from the face

@@ -117,10 +117,15 @@ def hand_box(joints: jax.Array, margin: float = 1.3) -> jax.Array:
     return jnp.concatenate([c - half, c + half])
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "hw", "crop"))
+@functools.partial(jax.jit, static_argnames=("batch", "hw", "crop", "pixel_noise"))
 def make_hand_batch(
-    key: jax.Array, batch: int, hw: Tuple[int, int] = (96, 96), crop: int = 64
+    key: jax.Array, batch: int, hw: Tuple[int, int] = (96, 96), crop: int = 64,
+    pixel_noise: float = 0.0,
 ) -> dict:
+    """``pixel_noise`` adds per-scene Gaussian noise with a random
+    level in [0, pixel_noise] (fraction of 255) — robustness
+    augmentation for FIXTURES.md's held-out noise families (the r4
+    fixture degraded to 10 px landmark error at noise 0.2)."""
     from perception_tpu.models.hand import crop_image
 
     keys = jax.random.split(key, batch)
@@ -129,6 +134,14 @@ def make_hand_batch(
         k1, k2, k3 = jax.random.split(k, 3)
         scene = sample_hand(k1, hw)
         img = render_hand(scene, hw, key=k2)
+        if pixel_noise > 0.0:
+            nk = jax.random.fold_in(k2, 7)
+            lvl = jax.random.uniform(nk, ()) * pixel_noise
+            img = jnp.clip(
+                img + jax.random.normal(jax.random.fold_in(nk, 1), img.shape)
+                * lvl * 255.0,
+                0.0, 255.0,
+            )
         box = hand_box(scene.joints)
         half = 0.5 * (box[2] - box[0])
         c = 0.5 * (box[:2] + box[2:])

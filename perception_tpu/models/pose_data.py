@@ -204,11 +204,25 @@ def make_targets(
 
 
 def make_batch(key: jax.Array, batch: int, hw: Tuple[int, int],
-               n_people: int = 2, stride: int = 8):
-    """One jitted training batch: images + targets."""
+               n_people: int = 2, stride: int = 8,
+               pixel_noise: float = 0.0):
+    """One jitted training batch: images + targets.
+
+    ``pixel_noise`` > 0 adds per-scene Gaussian noise with a random
+    level in [0, pixel_noise] (fraction of full scale) — the robustness
+    augmentation for the held-out noise families (FIXTURES.md)."""
     keys = jax.random.split(key, batch)
     scenes = jax.vmap(lambda k: sample_skeletons(k, hw, n_people))(keys)
     images = jax.vmap(lambda s: render_people(s, hw))(scenes)
+    if pixel_noise > 0.0:
+        # images are unit-scale ([0, 1]); noise level is a fraction of
+        # full scale, matching tools/fixtures_robustness.py's families.
+        nk = jax.random.fold_in(key, 7)
+        lvl = jax.random.uniform(nk, (batch, 1, 1, 1)) * pixel_noise
+        images = jnp.clip(
+            images + jax.random.normal(jax.random.fold_in(nk, 1), images.shape) * lvl,
+            0.0, 1.0,
+        )
     map_hw = (hw[0] // stride, hw[1] // stride)
     pafs, hms = jax.vmap(lambda s: make_targets(s, map_hw, stride))(scenes)
     return {"image": images, "paf": pafs, "heatmap": hms, "scene": scenes}

@@ -78,15 +78,34 @@ class OdometryConfig:
     map_budget: int = 0               # 0 = keyframe-target mode
     map_voxel: float = 0.02           # fusion dedup leaf (m)
     map_nn_radius: float = 0.06       # correspondence radius in map mode
-    # Correspondence engine in map mode. "auto" picks by the measured
-    # r4 IN-SYSTEM crossover (slam_bench map mode): although the
-    # standalone NN op favors the hash from ~16k points (nn_crossover:
-    # 6.2x at a 640x480 frame vs 32k), inside the fused odometry step
-    # the brute path stays ahead through 64k (137.6 vs 81.0 fps at
-    # equal map budget — the hash pays a per-frame build sort + source
-    # sort that the op-level bench amortizes, and XLA fuses the brute
-    # distance tiles into the GN body). "brute"/"hash" force a path.
+    # Correspondence engine in map mode:
+    #   "shortlist" (the r5 default behind "auto") — ONE top-k NN pass
+    #     per frame under the warm-start pose builds k candidate map
+    #     points per source point; every GN iteration then argmins over
+    #     its k-candidate gather (N x k, trivial) instead of re-scanning
+    #     the full map. Valid because the warm start absorbs the
+    #     predicted motion and GN updates are mm-scale — the true NN
+    #     stays inside the candidate neighborhood; the final fitness
+    #     pass re-checks against the full map and reports drift via
+    #     OdometryDiag.nn_overflow (fraction of points whose shortlist
+    #     winner is not the true NN).
+    #   "brute" — full MXU distance tiles every iteration (the r4
+    #     in-system winner through 64k, 8x the NN traffic).
+    #   "hash" — the voxel-hash engine (persistent across frames; build
+    #     paid on keyframe promotion only). Wins only beyond ~128k map
+    #     points in-system.
     map_nn: str = "auto"
+    map_nn_shortlist: int = 16        # candidates per point (shortlist mode)
+    map_nn_polish: int = 2            # final GN iterations re-run full
+                                      # brute NN (exact correspondences at
+                                      # convergence — ATE-protective when
+                                      # the warm-start shortlist staled)
+    map_nn_refresh: int = 1           # shortlist builds per frame (>1 =
+                                      # rebuild mid-scan from the current
+                                      # pose, curing candidate staleness
+                                      # under fast motion)
+    map_nn_recall: float = 0.95       # approx top-k per-element recall
+                                      # target (lax.approx_max_k)
     # Keyframe promotion thresholds
     kf_translation: float = 0.15      # meters
     kf_rotation: float = 0.2          # radians
@@ -187,14 +206,20 @@ def _fuse_map(map_pts, map_nrm, map_mask, kf_pts, kf_norm, kf_mask, cfg: Odometr
     return out_pts, out_nrm, out_mask
 
 
+def _map_engine(cfg: OdometryConfig) -> str:
+    """Static (config-time) choice of the map-mode NN engine.
+
+    "auto" resolves to the shortlist: measured in-system on v5e at the
+    32k map budget it beats both full-scan engines (r4 brute 214 fps,
+    r5 persistent hash 130 fps — the 2048 x 32768 distance stream 8x
+    per frame was the map-mode bottleneck; the shortlist pays it once)."""
+    if cfg.map_nn in ("shortlist", "brute", "hash"):
+        return cfg.map_nn
+    return "shortlist"
+
+
 def _use_hash(cfg: OdometryConfig) -> bool:
-    """Static (config-time) choice of the map-mode NN engine. The
-    "auto" threshold is the measured IN-SYSTEM crossover with the
-    persistent hash (build amortized over keyframe lifetime)."""
-    return cfg.map_budget > 0 and (
-        cfg.map_nn == "hash"
-        or (cfg.map_nn == "auto" and cfg.map_budget > 16384)
-    )
+    return cfg.map_budget > 0 and _map_engine(cfg) == "hash"
 
 
 def _build_map_hash(map_pts, map_nrm, map_mask, cfg: OdometryConfig):
@@ -290,9 +315,65 @@ def odometry_step(
         # build once per step, query each iteration).
         from perception_tpu.ops import voxelhash
 
-        use_hash = _use_hash(cfg)
+        engine = _map_engine(cfg)
         r2 = cfg.map_nn_radius**2
-        if use_hash:
+        if engine == "shortlist":
+            # One top-k pass under the warm start; per-iteration NN is
+            # then an (N, k) argmin over the candidate gather. The
+            # top-k comes from lax.approx_max_k over the full distance
+            # matrix — measured 1.6 ms at 2048x32768 on v5e (the exact
+            # streaming-top_k merge in ops/nn.knn costs 7.3 ms, more
+            # than 5 brute passes); per-element recall ~0.95 and the
+            # true NN additionally rides the exact argmin column. The
+            # final stats pass re-checks against the full map (true
+            # fitness + the shortlist-miss fraction in nn_overflow).
+            from perception_tpu.ops.points import SENTINEL as _SENT
+
+            map_masked = jnp.where(
+                state.map_mask[:, None], state.map_points, _SENT
+            )
+            map_sq = jnp.sum(map_masked * map_masked, axis=1)
+
+            def build_shortlist(T):
+                src_t = se3.transform_points(T, src_pts)
+                d2_full = (
+                    jnp.sum(src_t * src_t, axis=1)[:, None]
+                    - 2.0 * (src_t @ map_masked.T)
+                    + map_sq[None, :]
+                )
+                _, ci = jax.lax.approx_max_k(
+                    -d2_full, cfg.map_nn_shortlist,
+                    recall_target=cfg.map_nn_recall,
+                )
+                ci = ci.astype(jnp.int32)
+                return ci, state.map_points[ci]   # (N, k), (N, k, 3)
+
+            def shortlist_query(cand_idx, cand_pts):
+                def nn_q(src_t):
+                    d2k = jnp.sum((src_t[:, None, :] - cand_pts) ** 2, axis=-1)
+                    j = jnp.argmin(d2k, axis=1)
+                    idx = jnp.take_along_axis(cand_idx, j[:, None], axis=1)[:, 0]
+                    d2 = jnp.take_along_axis(d2k, j[:, None], axis=1)[:, 0]
+                    return idx, d2
+
+                return nn_q
+
+            cand_idx0, cand_pts0 = build_shortlist(T0)
+            nn_query = shortlist_query(cand_idx0, cand_pts0)
+            map_pts_nn = state.map_points
+            nrm_sorted = state.map_normals
+
+            def nn_query_stats(src_t):
+                _, d2s = nn_query(src_t)
+                tidx, td2 = _nn.nearest_neighbor(
+                    src_t, state.map_points, state.map_mask
+                )
+                missed = (d2s - td2 > 1e-9) & src_mask
+                ov = jnp.sum(missed) / jnp.maximum(
+                    jnp.sum(src_mask), 1
+                ).astype(jnp.float32)
+                return tidx, td2, ov
+        elif engine == "hash":
             # Persistent hash (state.map_hash): the cell sort was paid
             # when the map last changed (keyframe promotion), not here.
             vh = state.map_hash
@@ -333,26 +414,51 @@ def odometry_step(
                 idx, d2 = nn_query(src_t)
                 return idx, d2, jnp.float32(0.0)
 
-        def correspondences(T):
-            src_t = se3.transform_points(T, src_pts)
-            idx, d2 = nn_query(src_t)
-            gate = src_mask & (d2 <= r2)
-            return src_t, idx, d2, gate
+        def make_gn_body(query_fn):
+            def gn_body(T, _):
+                src_t = se3.transform_points(T, src_pts)
+                idx, d2 = query_fn(src_t)
+                gate = src_mask & (d2 <= r2)
+                q = map_pts_nn[idx]
+                nrm = nrm_sorted[idx]
+                r = jnp.sum(nrm * (src_t - q), axis=-1)
+                w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
+                J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
+                Jw = J * w[:, None]
+                A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
+                b = -(Jw.T @ r)
+                xi = jnp.linalg.solve(A, b)
+                return se3.se3_exp(xi) @ T, None
 
-        def gn_body(T, _):
-            src_t, idx, d2, gate = correspondences(T)
-            q = map_pts_nn[idx]
-            nrm = nrm_sorted[idx]
-            r = jnp.sum(nrm * (src_t - q), axis=-1)
-            w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
-            J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
-            Jw = J * w[:, None]
-            A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
-            b = -(Jw.T @ r)
-            xi = jnp.linalg.solve(A, b)
-            return se3.se3_exp(xi) @ T, None
+            return gn_body
 
-        T, _ = jax.lax.scan(gn_body, T0, None, length=cfg.icp_iterations)
+        if engine == "shortlist":
+            # Shortlist segments (rebuilt map_nn_refresh times from the
+            # current pose — staleness control), then exact brute
+            # polish: the final correspondences equal the full-scan
+            # engine's at convergence.
+            n_fast = max(cfg.icp_iterations - cfg.map_nn_polish, 0)
+            refresh = max(cfg.map_nn_refresh, 1)
+
+            def brute_query(src_t):
+                return _nn.nearest_neighbor(
+                    src_t, apply_mask(state.map_points, state.map_mask),
+                    state.map_mask,
+                )
+
+            T = T0
+            per = [n_fast // refresh] * refresh
+            per[-1] += n_fast - sum(per)
+            for s, length in enumerate(per):
+                q = nn_query if s == 0 else shortlist_query(*build_shortlist(T))
+                T, _ = jax.lax.scan(make_gn_body(q), T, None, length=length)
+            T, _ = jax.lax.scan(
+                make_gn_body(brute_query), T, None, length=cfg.map_nn_polish
+            )
+        else:
+            T, _ = jax.lax.scan(
+                make_gn_body(nn_query), T0, None, length=cfg.icp_iterations
+            )
         src_tf = se3.transform_points(T, src_pts)
         _, d2, nn_overflow = nn_query_stats(src_tf)
         gate = src_mask & (d2 <= r2)

@@ -28,6 +28,17 @@ class TrackerConfig:
     min_shared_parts: int = 3
     lk_levels: int = 3
     lk_radius: int = 7
+    # PersonTracker smoothing variant (--tracking;
+    # openpose/src/openpose/tracking/personTracker.cpp): when a
+    # detection matches a live track, the written keypoints are an EMA
+    # merge of the LK-propagated prediction and the new detection —
+    # smoothing detector jitter along the trajectory. 0.0 = off
+    # (PersonIdExtractor behavior: detections overwrite). Parts seen by
+    # only one of the two sources take that source unblended, and
+    # detector-skip frames (det_mask all False) keep pure LK
+    # propagation — the reference's interleave of tracked and detected
+    # frames.
+    smooth_alpha: float = 0.0
 
 
 class TrackState(NamedTuple):
@@ -117,8 +128,21 @@ def tracker_step(
     track_of_det = jnp.where(det_slot >= 0, det_slot, track_of_det)
     new_ids_for_det = state.next_id + new_rank
 
-    # 5. Write detections into their tracks.
+    # 5. Write detections into their tracks. With smoothing on, a
+    # matched track's parts blend the LK prediction into the detection
+    # (personTracker.cpp merge); fresh slots have no propagation
+    # (prop_mask False) and take the detection unblended.
     tgt = jnp.where(track_of_det >= 0, track_of_det, T)  # (D,)
+    if cfg.smooth_alpha > 0.0:
+        tgt_c = jnp.clip(tgt, 0, T - 1)
+        prop_for_det = prop_kp[tgt_c]        # (D, P, 2)
+        prop_m_for_det = prop_mask[tgt_c]    # (D, P)
+        det_xy = jnp.where(
+            (prop_m_for_det & det_part_mask)[..., None],
+            cfg.smooth_alpha * prop_for_det
+            + (1.0 - cfg.smooth_alpha) * det_xy,
+            det_xy,
+        )
     new_ids = state.ids
     new_ids = new_ids.at[jnp.clip(tgt, 0, T - 1)].set(
         jnp.where(

@@ -111,6 +111,7 @@ def test_slam_tracks_and_promotes():
     assert int(state.edges.count) >= int(state.keyframes.count) - 1
 
 
+@pytest.mark.slow  # ~29 s on the 2-core CI host (CI-budget triage, r5)
 def test_long_trajectory_no_pose_drift_blowup():
     # Regression: the inverse(kf_pose) @ pose warm start used to double
     # any off-SO(3) float drift per frame — exponential blowup by frame

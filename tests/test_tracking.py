@@ -74,3 +74,50 @@ def test_unmatched_track_persists_via_lk():
     st, ids = tracker_step(st, img, img, jnp.zeros((1, 5, 3)), jnp.zeros(1, bool), c)
     assert int((np.asarray(st.ids) >= 0).sum()) == 1
     assert np.asarray(ids)[0] == -1
+
+
+def test_smoothing_reduces_detection_jitter():
+    """PersonTracker smoothing variant (personTracker.cpp): with
+    smooth_alpha on, noisy detections of a linearly-moving person yield
+    a visibly smoother keypoint trajectory than the raw PersonIdExtractor
+    behavior, without losing the true path."""
+    rng = np.random.RandomState(3)
+    base = np.asarray(textured(0))
+    steps = 14
+    speed = 2.0  # px/frame, pure x translation of scene and person
+    noise = 3.0
+
+    def run(alpha):
+        c = TrackerConfig(max_tracks=4, num_parts=5,
+                          match_threshold_px=25.0, min_shared_parts=3,
+                          smooth_alpha=alpha)
+        st = tracker_init(c)
+        prev = jnp.asarray(base)
+        traj = []
+        rng2 = np.random.RandomState(7)
+        for t in range(steps):
+            img = jnp.asarray(np.roll(base, int(round(speed * (t + 1))), axis=1))
+            det = person(40.0 + speed * (t + 1), 30.0)
+            det[:, :2] += rng2.randn(5, 2) * noise  # detector jitter
+            st, ids = tracker_step(
+                st, prev, img, jnp.asarray(det[None]), jnp.ones(1, bool), c
+            )
+            slot = int(np.asarray(ids)[0])
+            assert slot == 0  # single stable id throughout
+            track = np.asarray(st.keypoints[np.asarray(st.ids) == 0])[0]
+            traj.append(track[0])  # head keypoint
+            prev = img
+        return np.stack(traj)
+
+    raw = run(0.0)
+    smooth = run(0.7)
+
+    def jitter(tr):
+        # second-difference magnitude = deviation from constant velocity
+        return float(np.mean(np.abs(np.diff(tr, n=2, axis=0))))
+
+    assert jitter(smooth) < 0.6 * jitter(raw), (jitter(smooth), jitter(raw))
+    # The smoothed track still follows the true motion.
+    gt_x = 40.0 + speed * np.arange(1, steps + 1)
+    err = np.abs(smooth[:, 0] - gt_x)
+    assert float(err[3:].mean()) < 4.0, err

@@ -53,6 +53,7 @@ def test_cli_slam_on_tum_fixture_reports_bounded_ate(capsys):
     assert ate_rows[0]["value"] < 0.05, ate_rows[0]
 
 
+@pytest.mark.slow  # ~58 s on the 2-core CI host (CI-budget triage, r5)
 def test_cli_odometry_on_tum_fixture(capsys, tmp_path):
     """The odometry harness consumes the same fixture and writes a
     TUM-format trajectory that round-trips through the loader."""

@@ -81,6 +81,9 @@ def test_async_start_stop():
     assert [d.frame_index for d in got] == [0, 1, 2]
 
 
+@pytest.mark.slow  # ~25 s on the 2-core CI host (CI-budget triage, r5);
+# the facade's multi-face assembly is also covered by
+# tests/test_face_multi.py::test_facade_returns_per_face_slots
 def test_fixture_pipelines_if_available():
     """Full pose+face+hand assembly when the trained fixtures exist
     (they are checked into tests/fixtures)."""

@@ -25,6 +25,12 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-px", type=float, default=2.0)
+    ap.add_argument("--rot-range", type=float, default=0.50,
+                    help="training head-rotation range (rad); covers the "
+                         "0.45 rad held-out family where the r4 fixture's "
+                         "AU02 gate mis-fired (FIXTURES.md)")
+    ap.add_argument("--pixel-noise", type=float, default=0.12,
+                    help="max per-scene noise level (fraction of 255)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -92,7 +98,10 @@ def main() -> int:
     def step_fn(p, o, k):
         batch = {
             k2: v
-            for k2, v in make_face_batch(k, args.batch).items()
+            for k2, v in make_face_batch(
+                k, args.batch,
+                rot_range=args.rot_range, pixel_noise=args.pixel_noise,
+            ).items()
             if k2 != "scene"
         }
         loss, grads = jax.value_and_grad(loss_fn)(p, batch)
@@ -107,16 +116,22 @@ def main() -> int:
         params, opt_state, loss = step_fn(params, opt_state, bk)
         if step % args.eval_every == 0 or step == args.steps:
             err_px, au_sep, det_iou = evaluate(params, jax.random.key(99))
+            # Held-out tilt family: the r4 fixture's AU02 separation
+            # flipped negative here (FIXTURES.md) — monitor + gate.
+            _, au_sep_rot, _ = evaluate(
+                params, jax.random.key(98), rot_range=0.45
+            )
             print(
                 f"step {step}: loss={float(loss):.5f} lm_err={err_px:.2f}px "
-                f"au02_sep={au_sep:.2f} det_iou={det_iou:.2f} "
-                f"({time.time()-t0:.0f}s)",
+                f"au02_sep={au_sep:.2f} au02_sep@0.45rad={au_sep_rot:.2f} "
+                f"det_iou={det_iou:.2f} ({time.time()-t0:.0f}s)",
                 flush=True,
             )
-            if err_px <= best_err:
+            if err_px <= best_err and au_sep_rot > 0.0:
                 best_err = err_px
                 save_fixture(params, args.out or FIXTURE_PATH)
-            if err_px <= args.target_px and au_sep > 1.0 and det_iou > 0.6:
+            if (err_px <= args.target_px and au_sep > 1.0
+                    and au_sep_rot > 0.3 and det_iou > 0.6):
                 print("target reached", flush=True)
                 break
 

@@ -20,6 +20,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--target-px", type=float, default=1.5)
+    ap.add_argument("--pixel-noise", type=float, default=0.25,
+                    help="max per-scene Gaussian noise level (fraction of "
+                         "255) — robustness augmentation, FIXTURES.md")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -52,7 +55,7 @@ def main() -> int:
 
     @jax.jit
     def step_fn(p, o, k):
-        batch = make_hand_batch(k, args.batch)
+        batch = make_hand_batch(k, args.batch, pixel_noise=args.pixel_noise)
 
         def loss_fn(p):
             maps = net.apply(p, batch["crop"])

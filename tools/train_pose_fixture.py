@@ -24,6 +24,12 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--target-pck", type=float, default=0.9)
+    ap.add_argument("--n-people", type=int, default=4,
+                    help="max people per training scene; 4 covers the "
+                         "crowded held-out family whose recall the r4 "
+                         "fixture dropped (FIXTURES.md)")
+    ap.add_argument("--pixel-noise", type=float, default=0.10,
+                    help="max per-scene noise level (fraction of scale)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -64,7 +70,10 @@ def main() -> int:
     data_fn = jax.jit(
         lambda k: {
             k2: v
-            for k2, v in make_batch(k, args.batch, FIXTURE_HW).items()
+            for k2, v in make_batch(
+                k, args.batch, FIXTURE_HW,
+                n_people=args.n_people, pixel_noise=args.pixel_noise,
+            ).items()
             if k2 != "scene"
         }
     )
@@ -72,21 +81,38 @@ def main() -> int:
     key = jax.random.key(1)
     best_pck = 0.0
     t0 = time.time()
+    import numpy as np
+
+    from perception_tpu.models.pose_data import render_people, sample_skeletons
+    from perception_tpu.models.pose_fixture import pck_on_images
+
+    def eval_crowded(params, key, n=10):
+        # The held-out crowded family (4 people) whose recall the r4
+        # fixture dropped — monitored + gated during training.
+        keys = jax.random.split(key, n)
+        scenes = jax.vmap(
+            lambda k: sample_skeletons(k, FIXTURE_HW, n_people=4)
+        )(keys)
+        imgs = np.asarray(jax.vmap(lambda s: render_people(s, FIXTURE_HW))(scenes))
+        return pck_on_images(params, imgs, scenes)
+
     for step in range(1, args.steps + 1):
         key, bk = jax.random.split(key)
         batch = data_fn(bk)
         state, loss = step_fn(state, batch)
         if step % args.eval_every == 0 or step == args.steps:
             pck, recall = evaluate_pck(state.params, jax.random.key(99))
+            cpck, crecall = eval_crowded(state.params, jax.random.key(97))
             print(
                 f"step {step}: loss={float(loss):.5f} pck={pck:.3f} "
-                f"recall={recall:.3f} ({time.time()-t0:.0f}s)",
+                f"recall={recall:.3f} crowd_pck={cpck:.3f} "
+                f"crowd_recall={crecall:.3f} ({time.time()-t0:.0f}s)",
                 flush=True,
             )
-            if pck >= best_pck:
+            if pck >= best_pck and crecall >= 0.8:
                 best_pck = pck
                 save_fixture(state.params, args.out or FIXTURE_PATH)
-            if pck >= args.target_pck and recall >= 0.95:
+            if pck >= args.target_pck and recall >= 0.95 and crecall >= 0.85:
                 print("target reached", flush=True)
                 break
 
