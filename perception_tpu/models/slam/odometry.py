@@ -341,11 +341,30 @@ def odometry_step(
                     - 2.0 * (src_t @ map_masked.T)
                     + map_sq[None, :]
                 )
-                _, ci = jax.lax.approx_max_k(
-                    -d2_full, cfg.map_nn_shortlist,
-                    recall_target=cfg.map_nn_recall,
-                )
-                ci = ci.astype(jnp.int32)
+                if cfg.map_nn_recall >= 1.0:
+                    # Exact segmented argmin: k = number of map
+                    # segments, each contributing its winner — the TRUE
+                    # NN is always candidate #something (100% first-NN
+                    # recall at build time), and the pass is a pure
+                    # min-reduce (no sorting network, ~matmul-bound).
+                    k = cfg.map_nn_shortlist
+                    m = d2_full.shape[1]
+                    pad = (-m) % k
+                    d2p = jnp.pad(d2_full, ((0, 0), (0, pad)),
+                                  constant_values=jnp.inf)
+                    seg = d2p.reshape(d2p.shape[0], k, -1)
+                    ci = (
+                        jnp.argmin(seg, axis=2).astype(jnp.int32)
+                        + jnp.arange(k, dtype=jnp.int32)[None, :]
+                        * (d2p.shape[1] // k)
+                    )
+                    ci = jnp.minimum(ci, m - 1)
+                else:
+                    _, ci = jax.lax.approx_max_k(
+                        -d2_full, cfg.map_nn_shortlist,
+                        recall_target=cfg.map_nn_recall,
+                    )
+                    ci = ci.astype(jnp.int32)
                 return ci, state.map_points[ci]   # (N, k), (N, k, 3)
 
             def shortlist_query(cand_idx, cand_pts):

@@ -165,3 +165,61 @@ def landmarks_overlay(image: np.ndarray, landmarks: np.ndarray, mask: np.ndarray
         if bool(mask[i]):
             cv2.circle(out, (int(landmarks[i, 0]), int(landmarks[i, 1])), 2, color, -1)
     return out
+
+
+def render_body_model(
+    joints: np.ndarray,               # (J, 3) posed joint positions (m)
+    parents: np.ndarray,              # (J,) kinematic-tree parents (-1 root)
+    size: Tuple[int, int] = (480, 640),
+    bone_radius: float = 0.045,       # capsule radius (m)
+    samples_per_bone: int = 96,
+    eye: Tuple[float, float, float] = (0.0, -0.5, -1.2),
+    target: Optional[Tuple[float, float, float]] = None,
+) -> np.ndarray:
+    """Render a fitted kinematic body model as capsule limbs — the
+    headless equivalent of the reference's Adam body-model viewer
+    (``gui/guiAdam.cpp``: render the Adam mesh posed by Adam_FastFit).
+    Consumes ``models/body_fit.BodyFitResult.joints`` + the
+    ``BodyModel.parents`` tree: each bone becomes a ring-sampled
+    capsule point cloud, z-buffered through :func:`render_points_3d`,
+    with the skeleton edges overlaid."""
+    joints = np.asarray(joints, np.float64)
+    parents = np.asarray(parents)
+    if target is None:
+        target = tuple(joints.mean(axis=0))
+
+    rng = np.random.RandomState(0)
+    pts, cols = [], []
+    palette = np.asarray(_COLORS, np.uint8)
+    for j in range(1, len(parents)):
+        a, b = joints[parents[j]], joints[j]
+        t = np.linspace(0.0, 1.0, samples_per_bone)[:, None]
+        axis = b - a
+        # Ring offsets perpendicular to the bone: capsule surface dots.
+        n = axis / (np.linalg.norm(axis) + 1e-9)
+        u = np.cross(n, [0.0, 0.0, 1.0])
+        if np.linalg.norm(u) < 1e-6:
+            u = np.cross(n, [0.0, 1.0, 0.0])
+        u /= np.linalg.norm(u) + 1e-9
+        v = np.cross(n, u)
+        phi = rng.rand(samples_per_bone) * 2 * np.pi
+        rad = bone_radius * np.sqrt(rng.rand(samples_per_bone))
+        ring = (np.cos(phi)[:, None] * u + np.sin(phi)[:, None] * v) * rad[:, None]
+        pts.append(a + t * axis + ring)
+        cols.append(np.repeat(palette[j % len(palette)][None], samples_per_bone, 0))
+    cloud = np.concatenate(pts, axis=0)
+    colors = np.concatenate(cols, axis=0)
+
+    # Append the joints themselves so skeleton edges index them directly.
+    base = len(cloud)
+    cloud = np.concatenate([cloud, joints], axis=0)
+    colors = np.concatenate(
+        [colors, np.full((len(joints), 3), 255, np.uint8)], axis=0
+    )
+    edges = np.asarray(
+        [[base + parents[j], base + j] for j in range(1, len(parents))]
+    )
+    return render_points_3d(
+        cloud, colors=colors, size=size, eye=eye, target=target,
+        point_px=3, edges=edges,
+    )

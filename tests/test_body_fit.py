@@ -93,3 +93,25 @@ class TestFitBody:
         res = batch_fit(jnp.stack([kp25, kp25]), jnp.stack([conf, conf]))
         assert res.joints.shape == (2, 15, 3)
         assert float(res.residual[0]) < 0.02
+
+
+def test_render_body_model_draws_capsules():
+    """GuiAdam-equivalent render: the posed kinematic tree rasterizes
+    to a non-trivial image with limbs covering many pixels."""
+    import numpy as np
+
+    from perception_tpu.models.body_fit import BodyModel, forward_kinematics
+    from perception_tpu.models.viz import render_body_model
+
+    import jax.numpy as jnp
+
+    model = BodyModel.body15()
+    joints = np.asarray(
+        forward_kinematics(
+            model, jnp.eye(4), jnp.zeros((len(model.parents), 3)), 1.0
+        )
+    )
+    img = render_body_model(joints, model.parents, size=(240, 320))
+    assert img.shape == (240, 320, 3)
+    lit = (img != 16).any(axis=-1).sum()
+    assert lit > 2000, lit  # limbs cover a substantial area

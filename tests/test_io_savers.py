@@ -144,3 +144,47 @@ def test_cvt_color_for_display_depth_and_labels():
     assert lab.shape == (1, 2, 3)
     rgb = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     assert (cvt_color_for_display(rgb, "rgb8", "bgr8") == rgb[..., ::-1]).all()
+
+
+def test_coco_variant_index_maps():
+    """Foot/face/hand/car COCO output variants (cocoJsonSaver.cpp:98-181)."""
+    from perception_tpu.io.savers import coco_order_indexes
+
+    # BODY_25 -> COCO-17 reorder starts at the nose and maps eyes/ears.
+    body25 = coco_order_indexes(25, "body")
+    assert len(body25) == 17 and body25[0] == 0 and body25[1:5] == [16, 15, 18, 17]
+    assert coco_order_indexes(18, "body")[1:5] == [15, 14, 17, 16]
+    # Foot: the 6 foot keypoints of BODY_25 / whole-body models.
+    assert coco_order_indexes(25, "foot") == [19, 20, 21, 22, 23, 24]
+    assert coco_order_indexes(135, "foot") == [19, 20, 21, 22, 23, 24]
+    assert coco_order_indexes(23, "foot") == [17, 18, 19, 20, 21, 22]
+    # Face: 68 keypoints from the BODY_135 face block.
+    face = coco_order_indexes(135, "face")
+    assert len(face) == 68 and face[0] == 65 and face[-1] == 132
+    # Hands: wrist + 20 hand points each (left 25..44, right 45..64).
+    h21 = coco_order_indexes(135, "hand21")
+    assert len(h21) == 21 and h21[0] == 10 and h21[1] == 45 and h21[-1] == 64
+    h42 = coco_order_indexes(135, "hand42")
+    assert len(h42) == 42 and h42[0] == 9 and h42[1] == 25
+    assert h42[21] == 10 and h42[22] == 45
+    # Car datasets.
+    assert len(coco_order_indexes(12, "car")) == 14  # duplicated corners
+    assert coco_order_indexes(22, "car", variant=0)[-2:] == [16, 17]
+    assert coco_order_indexes(22, "car", variant=1)[-2:] == [20, 21]
+    assert coco_order_indexes(22, "car", variant=2) == list(range(20))
+    with pytest.raises(ValueError):
+        coco_order_indexes(25, "face")
+
+
+def test_coco_variant_results_subset():
+    from perception_tpu.io.savers import coco_keypoint_results
+
+    kps = np.zeros((1, 25, 3), np.float32)
+    kps[0, :, 0] = np.arange(25)  # x encodes the model part id
+    kps[0, :, 2] = 1.0
+    res = coco_keypoint_results(
+        [7], [kps], [np.array([True])], [np.array([0.5])], fmt="foot"
+    )
+    xs = res[0]["keypoints"][0::3]
+    assert xs == [19.0, 20.0, 21.0, 22.0, 23.0, 24.0]
+    assert len(res[0]["keypoints"]) == 18

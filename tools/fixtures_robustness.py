@@ -7,10 +7,19 @@ GENERATOR FAMILIES the training run never produced — scale extremes,
 crowding, pixel noise, occlusion, background clutter, pose/depth
 extremes — and writes the FIXTURES.md table (VERDICT r3 item 8).
 
-Training regimes of record (tools/train_*_fixture.py, all defaults):
-  pose: n_people=2, scale (0.45, 0.75) x min(H,W), clean renders
-  face: rot 0.30 rad, z (0.45, 0.75) m, render noise only
-  hand: default sample_hand families, render noise only
+Training regimes of record (tools/train_*_fixture.py, all defaults —
+r5 added robustness augmentation after the r4 table recorded failures
+on tilted faces / noisy hands / crowding):
+  pose: n_people<=4, scale (0.45, 0.75) x min(H,W), noise <=0.10
+  face: rot 0.50 rad, z (0.45, 0.75) m, pixel noise <=0.12
+  hand: default sample_hand families, pixel noise <=0.25
+The noise-0.05/0.10 and crowded rows below are therefore no longer
+fully held-out for the respective fixture; rot 0.45 remains inside the
+widened face training range. Still held-out everywhere: scale extremes,
+near/far depth, occlusion, clutter, hand noise 0.05/0.10 levels below
+the training max are in-range — the hand noise 0.20 row is in-range
+too after r5. The table's role is unchanged: quantified degradation
+across generator families, with training provenance stated here.
 
 Run: python tools/fixtures_robustness.py  (writes FIXTURES.md)
 """
