@@ -88,7 +88,8 @@ class OdometryConfig:
     #     stays inside the candidate neighborhood; the final fitness
     #     pass re-checks against the full map and reports drift via
     #     OdometryDiag.nn_overflow (fraction of points whose shortlist
-    #     winner is not the true NN).
+    #     winner is not the true NN). r5 record at the 32k bench:
+    #     207 fps / ATE 1.47 vs same-session brute 199 / 1.63.
     #   "brute" — full MXU distance tiles every iteration (the r4
     #     in-system winner through 64k, 8x the NN traffic).
     #   "hash" — the voxel-hash engine (persistent across frames; build
@@ -104,8 +105,35 @@ class OdometryConfig:
                                       # rebuild mid-scan from the current
                                       # pose, curing candidate staleness
                                       # under fast motion)
-    map_nn_recall: float = 0.95       # approx top-k per-element recall
-                                      # target (lax.approx_max_k)
+    map_nn_coarse: int = 1            # source stride during the fast
+                                      # (shortlisted) iterations (1 =
+                                      # off, the default): n>1 runs the
+                                      # GN fast phase on every n-th
+                                      # source point (grid-stride order
+                                      # keeps coverage uniform), halving
+                                      # the shortlist build + fast
+                                      # iterations at n=2. Measured at
+                                      # the 32k bench: n=2 buys
+                                      # 207->233 fps but costs ATE
+                                      # 1.47->1.66 (and MORE coarse
+                                      # iterations degrade further —
+                                      # it10 hit 2.07), so accuracy
+                                      # keeps it off by default; flip on
+                                      # for throughput-bound deployments.
+    map_nn_recall: float = 0.99       # approx top-k per-element recall
+                                      # target (lax.approx_max_k). The
+                                      # r5 32k-map sweep: 0.99 costs
+                                      # +0.6 ms/frame over 0.95 but cuts
+                                      # ATE 1.79 -> 1.47 cm — candidate
+                                      # NEIGHBORHOOD quality (true
+                                      # top-k), not first-NN recall, is
+                                      # what the GN iterations consume
+                                      # (an exact segmented argmin with
+                                      # 100% first-NN recall but no
+                                      # local runners-up measured WORSE:
+                                      # 1.76). >= 1.0 selects that
+                                      # segmented-argmin variant anyway
+                                      # for experimentation.
     # Keyframe promotion thresholds
     kf_translation: float = 0.15      # meters
     kf_rotation: float = 0.2          # radians
@@ -210,9 +238,11 @@ def _map_engine(cfg: OdometryConfig) -> str:
     """Static (config-time) choice of the map-mode NN engine.
 
     "auto" resolves to the shortlist: measured in-system on v5e at the
-    32k map budget it beats both full-scan engines (r4 brute 214 fps,
-    r5 persistent hash 130 fps — the 2048 x 32768 distance stream 8x
-    per frame was the map-mode bottleneck; the shortlist pays it once)."""
+    32k map budget it beats both full-scan engines on BOTH axes
+    (same-session: shortlist 207 fps / ATE 1.47 vs brute 199 / 1.63 vs
+    persistent hash 130 / 1.92 — re-streaming the 2048 x 32768 distance
+    field every GN iteration was the map-mode bottleneck; the shortlist
+    pays it once per frame). See ROOFLINE.md's engine sweep."""
     if cfg.map_nn in ("shortlist", "brute", "hash"):
         return cfg.map_nn
     return "shortlist"
@@ -334,8 +364,15 @@ def odometry_step(
             )
             map_sq = jnp.sum(map_masked * map_masked, axis=1)
 
+            # Coarse-to-fine: the fast phase sees every n-th source
+            # point (grid-stride order -> uniform spatial coverage);
+            # the exact polish below runs the full set.
+            stride = max(cfg.map_nn_coarse, 1)
+            src_fast = src_pts[::stride]
+            mask_fast = src_mask[::stride]
+
             def build_shortlist(T):
-                src_t = se3.transform_points(T, src_pts)
+                src_t = se3.transform_points(T, src_fast)
                 d2_full = (
                     jnp.sum(src_t * src_t, axis=1)[:, None]
                     - 2.0 * (src_t @ map_masked.T)
@@ -381,17 +418,8 @@ def odometry_step(
             nn_query = shortlist_query(cand_idx0, cand_pts0)
             map_pts_nn = state.map_points
             nrm_sorted = state.map_normals
-
-            def nn_query_stats(src_t):
-                _, d2s = nn_query(src_t)
-                tidx, td2 = _nn.nearest_neighbor(
-                    src_t, state.map_points, state.map_mask
-                )
-                missed = (d2s - td2 > 1e-9) & src_mask
-                ov = jnp.sum(missed) / jnp.maximum(
-                    jnp.sum(src_mask), 1
-                ).astype(jnp.float32)
-                return tidx, td2, ov
+            # (Fitness/overflow stats ride the exact-polish scan below —
+            # no separate full-map stats pass in this engine.)
         elif engine == "hash":
             # Persistent hash (state.map_hash): the cell sort was paid
             # when the map last changed (keyframe promotion), not here.
@@ -433,11 +461,14 @@ def odometry_step(
                 idx, d2 = nn_query(src_t)
                 return idx, d2, jnp.float32(0.0)
 
-        def make_gn_body(query_fn):
+        def make_gn_body(query_fn, pts=None, mask=None):
+            pts = src_pts if pts is None else pts
+            mask = src_mask if mask is None else mask
+
             def gn_body(T, _):
-                src_t = se3.transform_points(T, src_pts)
+                src_t = se3.transform_points(T, pts)
                 idx, d2 = query_fn(src_t)
-                gate = src_mask & (d2 <= r2)
+                gate = mask & (d2 <= r2)
                 q = map_pts_nn[idx]
                 nrm = nrm_sorted[idx]
                 r = jnp.sum(nrm * (src_t - q), axis=-1)
@@ -456,7 +487,8 @@ def odometry_step(
             # current pose — staleness control), then exact brute
             # polish: the final correspondences equal the full-scan
             # engine's at convergence.
-            n_fast = max(cfg.icp_iterations - cfg.map_nn_polish, 0)
+            polish_eff = max(cfg.map_nn_polish, 1)  # stats need >= 1
+            n_fast = max(cfg.icp_iterations - polish_eff, 0)
             refresh = max(cfg.map_nn_refresh, 1)
 
             def brute_query(src_t):
@@ -470,21 +502,59 @@ def odometry_step(
             per[-1] += n_fast - sum(per)
             for s, length in enumerate(per):
                 q = nn_query if s == 0 else shortlist_query(*build_shortlist(T))
-                T, _ = jax.lax.scan(make_gn_body(q), T, None, length=length)
-            T, _ = jax.lax.scan(
-                make_gn_body(brute_query), T, None, length=cfg.map_nn_polish
+                T, _ = jax.lax.scan(
+                    make_gn_body(q, src_fast, mask_fast), T, None, length=length
+                )
+
+            # Exact-polish iterations with stats riding the carry (the
+            # fused path's convention: they describe the start of the
+            # final iteration — one stale, indistinguishable at
+            # convergence) — saving the full-map probe a post-scan
+            # stats pass would cost. nn_overflow = shortlist-miss
+            # fraction at the same pose the brute pass evaluated.
+            def polish_body(carry, _):
+                T, _, _, _ = carry
+                src_t = se3.transform_points(T, src_pts)
+                idx, d2 = brute_query(src_t)
+                gate = src_mask & (d2 <= r2)
+                # Shortlist-miss fraction, on the coarse subset the
+                # shortlist actually served, vs the exact d2 at the
+                # same pose.
+                _, d2s = nn_query(src_t[::stride])
+                ov = jnp.sum((d2s - d2[::stride] > 1e-9) & mask_fast) / jnp.maximum(
+                    jnp.sum(mask_fast), 1
+                ).astype(jnp.float32)
+                q = map_pts_nn[idx]
+                nrm = nrm_sorted[idx]
+                r = jnp.sum(nrm * (src_t - q), axis=-1)
+                w = gate.astype(src_pts.dtype) * _huber_weight(r, cfg.huber_delta)
+                J = jnp.concatenate([nrm, jnp.cross(src_t, nrm)], axis=-1)
+                Jw = J * w[:, None]
+                A = Jw.T @ J + cfg.damping * jnp.eye(6, dtype=src_pts.dtype)
+                b = -(Jw.T @ r)
+                xi = jnp.linalg.solve(A, b)
+                gd2 = jnp.sum(jnp.where(gate, d2, 0.0))
+                cnt = jnp.sum(gate, dtype=jnp.int32)
+                return (se3.se3_exp(xi) @ T, gd2, cnt, ov), None
+
+            (T, gd2, num_corr, nn_overflow), _ = jax.lax.scan(
+                polish_body,
+                (T, jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0)),
+                None,
+                length=polish_eff,
             )
+            fitness = gd2 / jnp.maximum(num_corr.astype(jnp.float32), 1.0)
         else:
             T, _ = jax.lax.scan(
                 make_gn_body(nn_query), T0, None, length=cfg.icp_iterations
             )
-        src_tf = se3.transform_points(T, src_pts)
-        _, d2, nn_overflow = nn_query_stats(src_tf)
-        gate = src_mask & (d2 <= r2)
-        num_corr = jnp.sum(gate, dtype=jnp.int32)
-        fitness = jnp.sum(jnp.where(gate, d2, 0.0)) / jnp.maximum(
-            num_corr.astype(jnp.float32), 1.0
-        )
+            src_tf = se3.transform_points(T, src_pts)
+            _, d2, nn_overflow = nn_query_stats(src_tf)
+            gate = src_mask & (d2 <= r2)
+            num_corr = jnp.sum(gate, dtype=jnp.int32)
+            fitness = jnp.sum(jnp.where(gate, d2, 0.0)) / jnp.maximum(
+                num_corr.astype(jnp.float32), 1.0
+            )
     elif use_fused:
         # North-star path: one Pallas kernel per iteration fuses the
         # SE(3) transform (pose rides in SMEM), correspondence search,
