@@ -171,37 +171,17 @@ def compact(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Arra
     by 7 cm), while decimation preserves the spatial distribution.
     """
     keep, _ = _keep_positions(mask, capacity, points.dtype)
-    idx, out_mask = _rank_select(keep, capacity)
+    # Stable bool argsort: measured fastest on TPU at EVERY size
+    # against both a cumsum+scatter compaction (r3: 248 vs 209 fps on
+    # the full pipeline) and a cumsum + vectorized-binary-search gather
+    # (r5: argsort 1.64/0.90/0.77 ms vs bsearch 3.39/1.58/0.84 ms at
+    # N=307200/16384/8192 — the O(log N) search is a SEQUENTIAL
+    # fori_loop of tiny gathers, pure latency, while XLA lowers the
+    # 1-bit sort as well-tiled parallel passes).
+    order = jnp.argsort(~keep, stable=True)  # kept first, stable
+    idx = order[:capacity]
+    out_mask = keep[idx]
     return apply_mask(points[idx], out_mask), out_mask
-
-
-def _rank_select(keep: jax.Array, capacity: int):
-    """Index of the j-th kept row (original order) for j < capacity.
-
-    cumsum + vectorized binary search: O(capacity · log N) gather
-    traffic instead of a full N-row sort. This replaced the stable
-    bool-argsort compaction (r5): the argsort's multi-pass sort
-    dominated the cuboid byte profile at N = 307200 (the r3 note that
-    argsort beat cumsum+SCATTER still holds — this is cumsum+GATHER,
-    which beats both). Returns (idx (capacity,), out_mask (capacity,));
-    rows past the kept count gather an arbitrary row and must be
-    masked (out_mask False there).
-    """
-    n = keep.shape[0]
-    csum = jnp.cumsum(keep.astype(jnp.int32))
-    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    lo = jnp.zeros(capacity, jnp.int32)
-    hi = jnp.full(capacity, n - 1, jnp.int32)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        go_right = csum[mid] < targets
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(0, max(int(n - 1).bit_length(), 1), body, (lo, hi))
-    out_mask = targets <= csum[-1]
-    return lo, out_mask
 
 
 def compact_prefix(points: jax.Array, mask: jax.Array, capacity: int) -> Tuple[jax.Array, jax.Array]:
@@ -253,7 +233,9 @@ def compact_with_attrs(
     Returns (points (capacity, 3), attrs (capacity, A), mask (capacity,)).
     """
     keep, _ = _keep_positions(mask, capacity, points.dtype)
-    idx, out_mask = _rank_select(keep, capacity)
+    order = jnp.argsort(~keep, stable=True)
+    idx = order[:capacity]
+    out_mask = keep[idx]
     return apply_mask(points[idx], out_mask), attrs[idx], out_mask
 
 

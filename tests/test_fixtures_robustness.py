@@ -18,12 +18,14 @@ def test_pose_held_out_families():
     params = PF.load_fixture()
     hw = PF.FIXTURE_HW
 
-    # Crowding (4 people; trained with <= 2) is the hardest family —
-    # FIXTURES.md records recall 0.91 at n=10 scenes, but the 6-scene
-    # quick check wobbles to ~0.7 on some seeds; bound it looser.
+    # r5: the fixture trains WITH crowded scenes (n_people<=4 +
+    # pixel-noise augmentation, tools/train_pose_fixture.py), fixing
+    # the r4 crowded-recall regression at its source — the loosened
+    # 0.6 floor from commit 70722da is restored to 0.8 (VERDICT r4
+    # item 5; training-time crowd_recall gate >= 0.85 at save).
     for scale, n_people, min_recall in (((0.30, 0.45), 2, 0.8),
                                         ((0.75, 0.92), 2, 0.8),
-                                        ((0.45, 0.75), 4, 0.6)):
+                                        ((0.45, 0.75), 4, 0.8)):
         keys = jax.random.split(jax.random.key(11), 6)
         scenes = jax.vmap(
             lambda k: sample_skeletons(k, hw, n_people=n_people,
@@ -66,6 +68,17 @@ def test_face_hand_held_out():
                               pixel_noise=0.10)
     assert err_n < 5.0, err_n
 
+    # r5: face training widened to rot 0.50 rad — the AU02 publish gate
+    # must keep a POSITIVE raised/neutral separation on tilted heads
+    # (the r4 fixture flipped to -0.13 at 0.45 rad, FIXTURES.md).
+    _, sep_rot, _ = FF.evaluate(fp, jax.random.key(16), n_scenes=8,
+                                rot_range=0.45)
+    assert sep_rot > 0.0, sep_rot
+
+    # r5: hand training noise-augmented (<=0.25) — noise 0.2 landmark
+    # error must stay within the <=5 px target (r4 recorded 10.07 px).
     hp = HF.load_fixture()
     he = HF.evaluate(hp, jax.random.key(15), n_scenes=8, pixel_noise=0.10)
-    assert he < 8.0, he
+    assert he < 5.0, he
+    he2 = HF.evaluate(hp, jax.random.key(17), n_scenes=8, pixel_noise=0.20)
+    assert he2 < 5.0, he2

@@ -158,13 +158,16 @@ def main() -> None:
     lines = [
         "# FIXTURES — held-out robustness of the trained CNN fixtures",
         "",
-        "Generated by `tools/fixtures_robustness.py`. Every non-first row is a",
-        "generator family the training run NEVER produced (scale extremes,",
-        "crowding, pixel noise, occlusion, clutter, pose/depth extremes) —",
-        "the zero-egress stand-in for the reference's COCO-val posture",
+        "Generated by `tools/fixtures_robustness.py` — the zero-egress",
+        "stand-in for the reference's COCO-val posture",
         "(`pose_accuracy_coco_val.sh:20-26`). Fixtures are tiny nets trained",
-        "in-repo on synthetic scenes; the point is quantified degradation,",
-        "not SOTA absolute numbers.",
+        "in-repo on synthetic scenes; the point is quantified degradation",
+        "across generator families, not SOTA absolute numbers. Training",
+        "provenance (r5): after r4 recorded failures on tilted faces, noisy",
+        "hands, and crowding, the training generators were augmented",
+        "(pose: <=4 people + noise <=0.10; face: rot <=0.50 rad + noise",
+        "<=0.12; hand: noise <=0.25), so those families are now in-range;",
+        "still held-out: scale extremes, near/far depth, occlusion, clutter.",
         "",
         "## Pose (tiny MPI-15 PoseNet, PCK@10px / person recall)",
         "",
