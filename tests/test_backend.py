@@ -146,6 +146,7 @@ def test_pose_graph_scales_to_256_nodes():
     assert gap < gap_before * 0.5
 
 
+@pytest.mark.slow  # ~10-12 s on the 2-core CI host (CI-budget triage, r5)
 def test_pose_graph_masked_edges_ignored():
     # A corrupted-but-masked edge must not move the solution.
     graph, gt = make_loop_graph(seed=4)
@@ -163,6 +164,7 @@ def test_pose_graph_masked_edges_ignored():
     np.testing.assert_allclose(np.asarray(opt_a), np.asarray(opt_b), atol=1e-5)
 
 
+@pytest.mark.slow  # ~10-13 s on the 2-core CI host (CI-budget triage, r5)
 def test_pose_graph_perfect_edges_noop():
     graph, gt = make_loop_graph(drift=0.0)
     opt, c0, c1 = optimize_pose_graph(graph, iterations=5)

@@ -1,4 +1,5 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,7 @@ def test_pairwise_extrinsics():
     np.testing.assert_allclose(est, T_01, atol=1e-4)
 
 
+@pytest.mark.slow  # ~10-13 s on the 2-core CI host (CI-budget triage, r5)
 def test_joint_extrinsics_refine_recovers_rig():
     """Joint multi-camera refinement (cameraParameterEstimation.cpp's
     BA-flavored stage): noisy pairwise-style inits converge to the GT

@@ -28,6 +28,7 @@ def assert_state_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # ~10-13 s on the 2-core CI host (CI-budget triage, r5)
 def test_npz_roundtrip(tmp_path):
     state = small_state()
     p = tmp_path / "state.npz"

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from perception_tpu.geometry import se3
 from perception_tpu.models.face import (
@@ -75,6 +76,7 @@ def test_gaze_straight_ahead():
     assert float(gr[2]) > 0.9 and float(gl[2]) > 0.9
 
 
+@pytest.mark.slow  # ~10-12 s on the 2-core CI host (CI-budget triage, r5)
 def test_landmark_net_and_decode_shapes():
     net = FaceLandmarkNet()
     params = net.init(jax.random.key(0), jnp.zeros((1, 64, 64, 1)))

@@ -81,6 +81,7 @@ class TestGradCheck:
 
         check_grad(f, np.array([0.1, -0.05, 0.9]), rtol=5e-4)
 
+    @pytest.mark.slow  # ~11 s on the 2-core CI host (CI-budget triage, r5)
     def test_pose_loss_params(self):
         # A tiny conv net's loss vs finite differences on a weight slice
         # — the literal Caffe layer-check, via the training loss.

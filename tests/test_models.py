@@ -130,6 +130,7 @@ def test_detect_object_fails_on_size_gate():
     assert int(res.cluster_id) == -1
 
 
+@pytest.mark.slow  # ~10-13 s on the 2-core CI host (CI-budget triage, r5)
 def test_pcl_parity_mode_switch():
     """CuboidConfig.pcl_parity() — one switch to reference budgets
     (5000-iter p2p ICP with eps early-exit, exact CC clustering) — must

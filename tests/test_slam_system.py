@@ -127,6 +127,7 @@ def test_long_trajectory_no_pose_drift_blowup():
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
 
 
+@pytest.mark.slow  # ~10-12 s on the 2-core CI host (CI-budget triage, r5)
 def test_loop_closure_fires_and_correction_reduces_ate():
     # VERDICT r1 item 4: drive a revisit and assert the closure path
     # end-to-end — closures verified + loop edges stored, and the
