@@ -220,6 +220,21 @@ def main() -> None:
         print(f"tracking bench failed: {e!r}", file=sys.stderr)
 
     try:
+        from benchmarks.facade_bench import run as run_facade
+
+        fb = run_facade(frames=120)
+        extra["facade"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in fb.items()
+        }
+        print(f"facade: {fb['facade_fps']:.1f} fps "
+              f"({fb['extractors']}, {fb['faces_tracked']} faces, "
+              f"{fb['resolution']})", file=sys.stderr)
+    except Exception as e:
+        extra["facade_error"] = repr(e)
+        print(f"facade bench failed: {e!r}", file=sys.stderr)
+
+    try:
         from benchmarks.nn_crossover import measure as nn_measure
 
         extra["nn_crossover"] = nn_measure(

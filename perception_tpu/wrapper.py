@@ -294,7 +294,15 @@ class Perception:
         # wrapperAuxiliary.hpp:970-1158, as a single XLA program).
         pose_fn, face_fn, hand_fn = self._pose_fn, self._face_fn, self._hand_fn
 
-        def step(params, img_unit, gray8, face_state, detect):
+        def step(params, img, face_state, detect):
+            # Input-scale normalization happens IN-GRAPH (a host-side
+            # img.max() would force a blocking D2H sync per frame —
+            # measured ~20 ms through the tunneled TPU, capping the
+            # facade at ~10 fps): img_unit in [0, 1] for the pose net,
+            # gray8 in [0, 255] for the face/hand extractors, whatever
+            # scale the caller fed.
+            img_unit = jnp.where(jnp.max(img) > 1.5, img / 255.0, img)
+            gray8 = jnp.mean(img_unit, axis=-1) * 255.0
             people = faces = hands = None
             if pose_fn is not None:
                 people = pose_fn(params["pose"], img_unit)
@@ -347,14 +355,6 @@ class Perception:
         img = jnp.asarray(image, jnp.float32)
         if img.ndim == 2:
             img = img[..., None] * jnp.ones((1, 1, 3), jnp.float32)
-        # Normalize ONCE: img_unit in [0, 1] for the pose net, gray8 in
-        # [0, 255] for the face/hand extractors — a consistent pair
-        # regardless of the caller's input scale (uint8 or unit floats).
-        if img.max() > 1.5:  # uint8-scaled input
-            img_unit = img / 255.0
-        else:
-            img_unit = img
-        gray8 = jnp.mean(img_unit, axis=-1) * 255.0
 
         detect = True
         if self._face_fn is not None:
@@ -362,7 +362,7 @@ class Perception:
             detect = (self._frame_count % every) == 0
             self._frame_count += 1
         people, faces, hands, new_state = self._step_fn(
-            self._params, img_unit, gray8,
+            self._params, img,
             getattr(self, "_face_state", None), jnp.bool_(detect),
         )
         if self._face_fn is not None:
@@ -370,7 +370,11 @@ class Perception:
         datum = PerceptionDatum(
             frame_index=frame_index,
             timestamp=time.time() if timestamp is None else timestamp,
-            image=np.asarray(image),
+            # Host frames stay host; device-staged frames stay on
+            # device (an unconditional np.asarray would be a blocking
+            # D2H per frame for callers that pre-stage, e.g. the
+            # facade bench) — sinks convert when they consume.
+            image=image if hasattr(image, "devices") else np.asarray(image),
             people=people,
             faces=faces,
             hands=hands,
