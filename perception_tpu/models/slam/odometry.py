@@ -519,11 +519,15 @@ def odometry_step(
                 gate = src_mask & (d2 <= r2)
                 # Shortlist-miss fraction, on the coarse subset the
                 # shortlist actually served, vs the exact d2 at the
-                # same pose.
+                # same pose. The tolerance must sit ABOVE f32 formula
+                # noise: the shortlist computes direct (q-p)^2 while
+                # the brute pass uses |q|^2-2qp+|p|^2, which differ by
+                # ~1e-6 at unit scale even for the SAME point — only a
+                # materially-farther winner counts as a miss.
                 _, d2s = nn_query(src_t[::stride])
-                ov = jnp.sum((d2s - d2[::stride] > 1e-9) & mask_fast) / jnp.maximum(
-                    jnp.sum(mask_fast), 1
-                ).astype(jnp.float32)
+                ov = jnp.sum(
+                    (d2s - d2[::stride] > 1e-5 + 1e-3 * d2[::stride]) & mask_fast
+                ) / jnp.maximum(jnp.sum(mask_fast), 1).astype(jnp.float32)
                 q = map_pts_nn[idx]
                 nrm = nrm_sorted[idx]
                 r = jnp.sum(nrm * (src_t - q), axis=-1)

@@ -180,3 +180,24 @@ def test_map_mode_at_headline_scale_32k():
         state, _ = odometry_step(state, jnp.asarray(d), cam, cfg_map)
     n_map = int(state.map_mask.sum())
     assert n_map >= 20000, n_map
+
+
+def test_shortlist_diag_reports_overflow_honestly():
+    """OdometryDiag.nn_overflow (ADVICE r4): the shortlist engine's
+    miss fraction is ~0 when the warm start is good, and the diag is
+    present (0.0) on the brute engine too."""
+    cam = small_camera()
+    base = dict(point_budget=512, keyframe_budget=1024, icp_iterations=8,
+                min_depth=0.1, max_depth=6.0, normal_max_edge=0.5,
+                kf_translation=0.05, map_budget=4096, map_voxel=0.03,
+                map_nn_radius=0.12)
+    gt = trajectory(5)
+    depths = [render_room_depth(cam, T, seed=i) for i, T in enumerate(gt)]
+
+    for nn, max_ov in (("shortlist", 0.05), ("brute", 0.0)):
+        cfg = OdometryConfig(**base, map_nn=nn)
+        state = init_state(cam, jnp.asarray(depths[0]), cfg)
+        for d in depths[1:]:
+            state, diag = odometry_step(state, jnp.asarray(d), cam, cfg)
+            ov = float(diag.nn_overflow)
+            assert 0.0 <= ov <= max_ov, (nn, ov)
