@@ -38,13 +38,20 @@ class PlaneFit(NamedTuple):
 def _sample_indices(key: jax.Array, mask: jax.Array, num: int) -> jax.Array:
     """(num, 3) indices of valid points, uniform over the mask.
 
-    Gumbel-free: categorical over log-mask gives uniform valid picks.
-    The three picks per hypothesis are drawn independently; degenerate
-    (repeated-index) hypotheses simply score poorly and lose the argmax,
-    matching RANSAC semantics without rejection loops.
+    Inverse-CDF over the mask's cumsum: draw uniform valid RANKS, then
+    one searchsorted maps rank -> row. Replaces
+    ``jax.random.categorical`` (r5): categorical materializes
+    (num, 3, N) Gumbel noise — 100 MB + a full argmax at the pipeline's
+    8192 x 1024 shape, which made hypothesis SAMPLING as expensive as
+    hypothesis SCORING. The three picks per hypothesis are independent;
+    degenerate (repeated-index) hypotheses simply score poorly and lose
+    the argmax, matching RANSAC semantics without rejection loops.
     """
-    logits = jnp.where(mask, 0.0, -jnp.inf)
-    return jax.random.categorical(key, logits, shape=(num, 3))
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    cnt = jnp.maximum(csum[-1], 1)
+    ranks = jax.random.randint(key, (num, 3), 1, cnt + 1)
+    idx = jnp.searchsorted(csum, ranks, side="left", method="sort")
+    return jnp.clip(idx, 0, mask.shape[0] - 1).astype(jnp.int32)
 
 
 def _plane_from_triplets(p0, p1, p2) -> Tuple[jax.Array, jax.Array, jax.Array]:
