@@ -77,6 +77,14 @@ class OdometryConfig:
     # force would burn Nq x M distance tiles.
     map_budget: int = 0               # 0 = keyframe-target mode
     map_voxel: float = 0.02           # fusion dedup leaf (m)
+    map_decay: float = 1.0            # recency weight on surviving map
+                                      # points at each fusion (<1 =
+                                      # exponential forgetting: voxels
+                                      # where old and new geometry
+                                      # overlap anchor to the freshly
+                                      # registered keyframe instead of
+                                      # the drift-smeared average; 1.0
+                                      # = plain centroid fusion)
     map_nn_radius: float = 0.06       # correspondence radius in map mode
     # Correspondence engine in map mode:
     #   "shortlist" (the r5 default behind "auto") — ONE top-k NN pass
@@ -215,14 +223,29 @@ def _frame_features(camera: PinholeCamera, depth, cfg: OdometryConfig, phase=0):
 def _fuse_map(map_pts, map_nrm, map_mask, kf_pts, kf_norm, kf_mask, cfg: OdometryConfig):
     """Merge a keyframe cloud into the local map: concat, voxel-dedup at
     ``map_voxel`` (centroids + renormalized mean normals), decimate to
-    ``map_budget``. All inputs in the same (new keyframe) frame."""
+    ``map_budget``. All inputs in the same (new keyframe) frame.
+
+    With ``map_decay`` < 1 the surviving map points enter the voxel
+    average at that weight while the new keyframe's points enter at
+    1.0 — exponential forgetting. Map points are re-anchored through
+    every promotion with the *measured* relative transform, so old
+    points carry accumulated odometry error; recency weighting keeps
+    voxels where old and new geometry overlap anchored to the freshly
+    registered surface instead of the drift-smeared running average.
+    """
     from perception_tpu.ops.points import compact_with_attrs, voxel_downsample_with_attrs
 
     pts = jnp.concatenate([map_pts, kf_pts], axis=0)
     nrm = jnp.concatenate([map_nrm, kf_norm], axis=0)
     msk = jnp.concatenate([map_mask, kf_mask], axis=0)
+    weights = None
+    if cfg.map_decay < 1.0:
+        weights = jnp.concatenate([
+            jnp.full(map_pts.shape[0], cfg.map_decay, pts.dtype),
+            jnp.ones(kf_pts.shape[0], pts.dtype),
+        ])
     fused_pts, fused_nrm, fused_mask = voxel_downsample_with_attrs(
-        pts, msk, nrm, cfg.map_voxel
+        pts, msk, nrm, cfg.map_voxel, weights=weights
     )
     norm = jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True)
     fused_nrm = fused_nrm / jnp.maximum(norm, 1e-9)

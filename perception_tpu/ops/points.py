@@ -107,6 +107,7 @@ def voxel_downsample_with_attrs(
     voxel_size: float,
     origin=None,
     dims=(1024, 1024, 1024),
+    weights=None,
 ):
     """VoxelGrid downsample carrying per-point attributes.
 
@@ -116,6 +117,12 @@ def voxel_downsample_with_attrs(
     mask), all at the input capacity N. This is the map-fusion
     primitive: merge keyframe clouds into a deduplicated local map with
     one call.
+
+    ``weights`` (N,) optionally weights each point's contribution to
+    its voxel's centroid and attr mean (default: uniform). The map
+    fuser uses this for recency-weighted fusion: old map points carry
+    a decayed weight so freshly registered geometry dominates voxels
+    where both land (exponential forgetting of drift-smeared points).
     """
     n = points.shape[0]
     if origin is None:
@@ -142,12 +149,17 @@ def voxel_downsample_with_attrs(
 
     pts_sorted = points[order]
     w = valid_sorted.astype(points.dtype)
+    if weights is not None:
+        w = w * jnp.maximum(jnp.asarray(weights, points.dtype)[order], 0.0)
     sums = jax.ops.segment_sum(pts_sorted * w[:, None], rank_sorted, num_segments=n)
     counts = jax.ops.segment_sum(w, rank_sorted, num_segments=n)
     out_mask = counts > 0
     # The last segment may mix the final real voxel with invalid points;
-    # invalid rows carry zero weight so sums stay correct.
-    denom = jnp.maximum(counts, 1.0)[:, None]
+    # invalid rows carry zero weight so sums stay correct. The guard
+    # must stay far below any real weight (weighted fusion can put
+    # total voxel weight < 1): empty segments give 0/eps = 0 and are
+    # masked out anyway.
+    denom = jnp.maximum(counts, 1e-12)[:, None]
     centroids = sums / denom
     attr_means = None
     if attrs is not None:

@@ -201,3 +201,31 @@ def test_shortlist_diag_reports_overflow_honestly():
             state, diag = odometry_step(state, jnp.asarray(d), cam, cfg)
             ov = float(diag.nn_overflow)
             assert 0.0 <= ov <= max_ov, (nn, ov)
+
+
+def test_map_mode_recency_decay_tracks():
+    """map_decay < 1 (recency-weighted fusion) must keep tracking
+    accuracy: old map points enter each voxel fuse at the decayed
+    weight so freshly registered geometry anchors the average. On
+    clean synthetic data decay and plain fusion should agree closely;
+    this guards the weighted path end-to-end through the jitted step
+    (config -> _fuse_map -> voxel_downsample_with_attrs weights)."""
+    cam = small_camera()
+    base = dict(point_budget=512, keyframe_budget=1024, icp_iterations=8,
+                min_depth=0.1, max_depth=6.0, normal_max_edge=0.5,
+                kf_translation=0.05, map_budget=4096, map_voxel=0.03,
+                map_nn_radius=0.12)
+    gt = trajectory(6)
+    depths = [render_room_depth(cam, T, seed=i) for i, T in enumerate(gt)]
+    poses, diags = run_odometry(cam, depths, OdometryConfig(**base, map_decay=0.25))
+    est = np.stack([np.asarray(p) for p in poses])
+    r = ate(est, np.stack(gt), align=False)
+    assert r.rmse < 0.03, f"decayed map-mode ATE {r.rmse}"
+    assert all(float(d.overlap) > 0.5 for d in diags)
+    # The decayed map still accumulates beyond one keyframe's cloud.
+    state = init_state(cam, jnp.asarray(depths[0]),
+                       OdometryConfig(**base, map_decay=0.25))
+    for d in depths[1:]:
+        state, _ = odometry_step(state, jnp.asarray(d), cam,
+                                 OdometryConfig(**base, map_decay=0.25))
+    assert int(state.map_mask.sum()) > 1024

@@ -134,3 +134,27 @@ def test_jit_voxel_downsample():
     out, om = f(pts, mask)
     out2, om2 = P.voxel_downsample(pts, mask, 0.05)
     np.testing.assert_allclose(out, out2)
+
+
+def test_voxel_downsample_with_attrs_weights():
+    """Recency-weighted fusion: per-point weights steer the voxel
+    centroid and attr mean toward the heavier contributors; the
+    unweighted path is unchanged (odometry map_decay support)."""
+    pts = jnp.array([[0.0, 0.0, 0.0], [0.01, 0.0, 0.0], [5.0, 5.0, 5.0]])
+    mask = jnp.array([True, True, False])
+    attrs = jnp.array([[1.0, 0.0], [0.0, 1.0], [9.0, 9.0]])
+    w = jnp.array([0.25, 1.0, 1.0])
+    c, a, m = P.voxel_downsample_with_attrs(pts, mask, attrs, 0.05, weights=w)
+    assert int(m.sum()) == 1
+    np.testing.assert_allclose(c[m][0, 0], 0.01 / 1.25, atol=1e-6)
+    np.testing.assert_allclose(a[m][0], [0.25 / 1.25, 1.0 / 1.25], atol=1e-6)
+    # A voxel whose total weight is far below 1 must still produce the
+    # weighted mean (guards the denom-floor bug: max(counts, 1.0)
+    # would shrink the centroid by the weight).
+    c2, a2, m2 = P.voxel_downsample_with_attrs(
+        pts, mask, attrs, 0.05, weights=jnp.array([0.1, 0.1, 1.0])
+    )
+    np.testing.assert_allclose(c2[m2][0, 0], 0.005, atol=1e-6)
+    # weights=None reproduces the plain centroid.
+    c3, a3, m3 = P.voxel_downsample_with_attrs(pts, mask, attrs, 0.05)
+    np.testing.assert_allclose(c3[m3][0, 0], 0.005, atol=1e-6)
