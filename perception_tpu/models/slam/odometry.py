@@ -77,14 +77,30 @@ class OdometryConfig:
     # force would burn Nq x M distance tiles.
     map_budget: int = 0               # 0 = keyframe-target mode
     map_voxel: float = 0.02           # fusion dedup leaf (m)
-    map_decay: float = 1.0            # recency weight on surviving map
-                                      # points at each fusion (<1 =
-                                      # exponential forgetting: voxels
-                                      # where old and new geometry
-                                      # overlap anchor to the freshly
-                                      # registered keyframe instead of
-                                      # the drift-smeared average; 1.0
-                                      # = plain centroid fusion)
+    map_decay: float = 1.0            # weight on surviving map points
+                                      # at each voxel fuse, vs 1.0 per
+                                      # new keyframe point. <1 =
+                                      # exponential forgetting (anchor
+                                      # to the freshest registration);
+                                      # >1 = persistence (approximates
+                                      # TSDF observation-count
+                                      # weighting: the established
+                                      # multi-observation average
+                                      # resists single-frame noise);
+                                      # 1.0 = plain centroid fusion.
+                                      # Measured on the 32k bench
+                                      # (benchmarks/decay_sweep.py,
+                                      # ATE cm): 0.25->1.41, 0.5->1.64,
+                                      # 1.0->1.47, 2->1.49, 4->1.78,
+                                      # 8->1.58. No coherent trend in
+                                      # either direction — promotion-
+                                      # pattern chaos dominates (the
+                                      # keyframe count shifts between
+                                      # rows) and 0.25's small win sits
+                                      # next to the worst row, so 1.0
+                                      # stays the default; the knob is
+                                      # for workloads where drift or
+                                      # noise provably dominates.
     map_nn_radius: float = 0.06       # correspondence radius in map mode
     # Correspondence engine in map mode:
     #   "shortlist" (the r5 default behind "auto") — ONE top-k NN pass
@@ -239,7 +255,7 @@ def _fuse_map(map_pts, map_nrm, map_mask, kf_pts, kf_norm, kf_mask, cfg: Odometr
     nrm = jnp.concatenate([map_nrm, kf_norm], axis=0)
     msk = jnp.concatenate([map_mask, kf_mask], axis=0)
     weights = None
-    if cfg.map_decay < 1.0:
+    if cfg.map_decay != 1.0:
         weights = jnp.concatenate([
             jnp.full(map_pts.shape[0], cfg.map_decay, pts.dtype),
             jnp.ones(kf_pts.shape[0], pts.dtype),
