@@ -52,6 +52,42 @@ def _bilinear(field: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     )
 
 
+def _bilinear_mxu(fields: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Sample C fields (C, H, W) at S float coords -> (C, S).
+
+    Bilinear interpolation expressed as two weighted one-hot
+    contractions instead of per-point gathers: the row matrix carries
+    (1-fy, fy) at (y0, y0+1) and contracts over H on the MXU; the
+    column weights then reduce over W. Gathers lower to scalar loads on
+    TPU (measured: the facade's PAF scoring spent 12.7 of its 13 ms in
+    them); the matmul form streams the fields once. HIGHEST precision
+    keeps the 4-term interpolation at f32 accuracy.
+    """
+    C, H, W = fields.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0).astype(fields.dtype)
+    fy = (y - y0).astype(fields.dtype)
+    hh = jnp.arange(H, dtype=jnp.int32)[None, :]
+    ww = jnp.arange(W, dtype=jnp.int32)[None, :]
+    rowm = (
+        (hh == y0[:, None]).astype(fields.dtype) * (1 - fy)[:, None]
+        + (hh == (y0 + 1)[:, None]).astype(fields.dtype) * fy[:, None]
+    )  # (S, H)
+    colm = (
+        (ww == x0[:, None]).astype(fields.dtype) * (1 - fx)[:, None]
+        + (ww == (x0 + 1)[:, None]).astype(fields.dtype) * fx[:, None]
+    )  # (S, W)
+    rows = jnp.einsum(
+        "sh,chw->csw", rowm, fields, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "csw,sw->cs", rows, colm, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def paf_pair_scores(
     paf_x: jax.Array,
     paf_y: jax.Array,
@@ -76,8 +112,13 @@ def paf_pair_scores(
     ts = jnp.linspace(0.0, 1.0, num_samples)
     # (Ka, Kb, T, 2) sample positions.
     pos = a_xy[:, None, None, :] + ts[None, None, :, None] * d[:, :, None, :]
-    sx = _bilinear(paf_x, pos[..., 0].reshape(-1), pos[..., 1].reshape(-1)).reshape(Ka, Kb, num_samples)
-    sy = _bilinear(paf_y, pos[..., 0].reshape(-1), pos[..., 1].reshape(-1)).reshape(Ka, Kb, num_samples)
+    both = _bilinear_mxu(
+        jnp.stack([paf_x, paf_y]),
+        pos[..., 0].reshape(-1),
+        pos[..., 1].reshape(-1),
+    )
+    sx = both[0].reshape(Ka, Kb, num_samples)
+    sy = both[1].reshape(Ka, Kb, num_samples)
     dots = sx * u[..., 0:1] + sy * u[..., 1:2]  # (Ka, Kb, T)
 
     success = jnp.mean((dots > sample_threshold).astype(jnp.float32), axis=-1)
